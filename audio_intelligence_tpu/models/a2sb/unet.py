@@ -1,0 +1,280 @@
+"""AttnUNetF — the A2SB restoration UNet, TPU-native flax implementation.
+
+Capability parity with the reference network (A2SB/networks.py:188-322):
+5-level 2-D UNet over (mag, cosθ, sinθ) spectrograms with scale-shift
+GroupNorm conditioning on the timestep embedding + sinusoidal frequency-band
+embeddings, and full self-attention with 2-D axial 'pixel' rotary position
+embeddings at the deep levels + middle. Flagship config:
+hidden [128, 256, 512, 768, 1024, 2048], attention at levels {3, 4},
+band_embedding_dim 16, 8 heads (A2SB/configs/pretrain.yaml:47-61).
+
+TPU-first design choices (not a translation):
+
+- NHWC layout (XLA's native conv layout on TPU; the reference is NCHW).
+- The reference materializes the conditioning as a B×E×H×W map (timestep
+  embedding broadcast per-pixel, band embeddings concatenated) and runs a
+  1×1 conv per ResBlock. Because that conv is linear and the map is the
+  concatenation of an H-only-varying part and a batch-only-varying part,
+  we compute the two matmuls separately and broadcast-add:
+  scale_shift[b, h, c] = silu(t_emb[b]) · W_t + silu(band_emb[h]) · W_band
+  + bias — algebraically identical, but O(B·E + H·E) instead of O(B·E·H·W)
+  memory traffic.
+- Attention is one fused dot-product attention over H·W tokens (einsum →
+  MXU); axial rotary angle tables are computed host-side per static shape.
+- GroupNorm statistics in fp32 regardless of activation dtype
+  (GroupNorm32 semantics, A2SB/networks.py:25-27).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from audio_intelligence_tpu.ops.rotary import axial_pixel_freqs_np, apply_rotary
+
+
+def sinusoidal_temporal_embedding(
+    t: jax.Array, n_channels: int = 128, min_freq: float = 0.5, max_freq: float = 16.0
+) -> jax.Array:
+    """t [B] in [0,1] → [B, n_channels] (sin‖cos over linspaced multipliers).
+
+    Matches ``SinusoidalTemporalEmbedding(n_bands=n_channels//2, min_freq=0.5)``
+    (A2SB/networks.py:455-471, A2SB_lightning_module.py:223).
+    """
+    n_bands = n_channels // 2
+    mult = jnp.linspace(min_freq, max_freq, n_bands, dtype=t.dtype)
+    angles = t[:, None] * mult[None, :]
+    return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+
+
+def band_embedding(n_bands: int, dim: int) -> jax.Array:
+    """Sinusoidal frequency-band embeddings [n_bands, dim].
+
+    Matches ``AttnUNetF.get_band_embeddings`` (A2SB/networks.py:275-286):
+    angle(f, h) = (f+1)·h·2·3.14/(3·n_bands), cos rows then sin rows.
+    (The reference uses the literal 3.14 — kept for checkpoint parity.)
+    """
+    coords = np.arange(n_bands, dtype=np.float32)
+    freqs = np.arange(dim // 2, dtype=np.float32) + 1.0
+    ang = freqs[:, None] * coords[None, :] * 2.0 * 3.14 / (3.0 * n_bands)
+    emb = np.concatenate([np.cos(ang), np.sin(ang)], axis=0)  # [dim, n_bands]
+    return jnp.asarray(emb.T)  # [n_bands, dim]
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32 groups) computed in fp32, output cast back to input dtype."""
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        groups = min(self.num_groups, x.shape[-1])
+        y = nn.GroupNorm(num_groups=groups, dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(dtype)
+
+
+class ScaleShiftEmbed(nn.Module):
+    """The ResBlock conditioning projection, computed separably.
+
+    Produces scale/shift [B, H, 1, 2·out_channels] from the timestep
+    embedding [B, E_t] and band embeddings [H, E_b]. Parameter layout is one
+    (E_b + E_t) → 2C kernel (band rows first, matching the reference's
+    concat order ``cat((band_emb, emb), 1)`` at A2SB/networks.py:292-295)
+    so reference 1×1-conv weights convert directly.
+    """
+
+    out_channels: int
+    band_dim: int
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array, band_emb: jax.Array | None):
+        e_b = self.band_dim
+        e_t = t_emb.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (e_b + e_t, 2 * self.out_channels),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (2 * self.out_channels,))
+        out = jax.nn.silu(t_emb) @ kernel[e_b:] + bias  # [B, 2C]
+        out = out[:, None, None, :]  # [B, 1, 1, 2C]
+        if e_b > 0:
+            band_part = jax.nn.silu(band_emb) @ kernel[:e_b]  # [H, 2C]
+            out = out + band_part[None, :, None, :]  # [B, H, 1, 2C]
+        return out
+
+
+class ResBlock(nn.Module):
+    """Scale-shift-norm residual block (A2SB/networks.py:79-123), NHWC."""
+
+    channels: int
+    band_dim: int
+    p_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, t_emb, band_emb, deterministic: bool = True):
+        h = GroupNorm32()(x)
+        h = nn.Conv(self.channels, (3, 3), padding=1, name="in_conv")(jax.nn.silu(h))
+        ss = ScaleShiftEmbed(self.channels, self.band_dim, name="emb_proj")(
+            t_emb, band_emb
+        )
+        scale, shift = jnp.split(ss, 2, axis=-1)
+        h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+        h = jax.nn.silu(h)
+        h = nn.Dropout(self.p_dropout, deterministic=deterministic)(h)
+        h = nn.Conv(
+            self.channels,
+            (3, 3),
+            padding=1,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="out_conv",
+        )(h)
+        return x + h
+
+
+class RotaryAttention2d(nn.Module):
+    """Full self-attention over H×W tokens with 2-D axial pixel rotary.
+
+    Matches ``RotaryAttentionPool2d`` (A2SB/networks.py:394-452): optional
+    GroupNorm32 on the input, 1×1 q/k/v projections, rotary over the first
+    2·rotary_dim head features, *no* output projection, output replaces the
+    input (non-residual; the caller's sequential applies it after a
+    ResBlock).
+    """
+
+    num_heads: int = 8
+    rotary_dim: int = 32
+    max_freq: float = 64.0
+    use_input_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        if self.use_input_norm:
+            x = GroupNorm32(name="gnorm")(x)
+        q = nn.Conv(c, (1, 1), name="q_proj")(x)
+        k = nn.Conv(c, (1, 1), name="k_proj")(x)
+        v = nn.Conv(c, (1, 1), name="v_proj")(x)
+
+        head_dim = c // self.num_heads
+        # [B, H, W, heads, hd] — note the reference splits channels as
+        # (heads, head_dim) in channel-major order.
+        def split_heads(t):
+            t = t.reshape(b, h, w, self.num_heads, head_dim)
+            return jnp.transpose(t, (0, 3, 1, 2, 4))  # [B, heads, H, W, hd]
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        angles = jnp.asarray(
+            axial_pixel_freqs_np(h, w, self.rotary_dim, self.max_freq), dtype=q.dtype
+        )
+        q = apply_rotary(q, angles)
+        k = apply_rotary(k, angles)
+
+        q = q.reshape(b, self.num_heads, h * w, head_dim)
+        k = k.reshape(b, self.num_heads, h * w, head_dim)
+        v = v.reshape(b, self.num_heads, h * w, head_dim)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
+        logits = jnp.einsum("bnqd,bnkd->bnqk", q * scale, k)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+        out = out.reshape(b, self.num_heads, h, w, head_dim)
+        out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, c)
+        return out
+
+
+class AttnUNetF(nn.Module):
+    """The A2SB restoration UNet (see module docstring).
+
+    Input  x: [B, H, W, C_in]  (H = freq bands, W = frames, C = 3)
+    Input  t_emb: [B, emb_channels]
+    Output [B, H, W, C_out]
+    """
+
+    n_updown_levels: int = 5
+    in_channels: int = 3
+    hidden_channels: Sequence[int] = (128, 256, 512, 768, 1024, 2048)
+    out_channels: int = 3
+    emb_channels: int = 128
+    band_embedding_dim: int = 16
+    attention_levels: Sequence[int] = (3, 4)
+    n_attn_heads: int = 8
+    num_res_blocks: int = 2
+    use_attn_input_norm: bool = True
+    p_dropout: float = 0.1
+    rotary_dim: int = 32
+
+    def _level_band_emb(self, n_bands):
+        if self.band_embedding_dim == 0:
+            return None
+        return band_embedding(n_bands, self.band_embedding_dim)
+
+    @nn.compact
+    def __call__(self, x, t_emb, deterministic: bool = True):
+        hc = list(self.hidden_channels)
+        if isinstance(self.hidden_channels, int):
+            hc = [self.hidden_channels] * (self.n_updown_levels + 1)
+        n = self.n_updown_levels
+        attn = set(self.attention_levels)
+        dec_attn = {n - 1 - a for a in attn}
+
+        def block_stack(h, ch, use_attn, name):
+            band = self._level_band_emb(h.shape[1])
+            for i in range(self.num_res_blocks):
+                h = ResBlock(
+                    ch, self.band_embedding_dim, self.p_dropout, name=f"{name}_res{i}"
+                )(h, t_emb, band, deterministic)
+                if use_attn:
+                    h = RotaryAttention2d(
+                        num_heads=self.n_attn_heads,
+                        rotary_dim=self.rotary_dim,
+                        use_input_norm=self.use_attn_input_norm,
+                        name=f"{name}_attn{i}",
+                    )(h)
+            return h
+
+        h = nn.Conv(hc[0], (3, 3), padding=1, name="input_projection")(x)
+
+        skips = []
+        for level in range(n):
+            h = block_stack(h, hc[level], level in attn, f"enc{level}")
+            h = nn.Conv(
+                hc[level + 1], (3, 3), strides=(2, 2), padding=1, name=f"down{level}"
+            )(h)
+            skips.append(h)
+
+        # middle: res → attn → res at the deepest resolution
+        band = self._level_band_emb(h.shape[1])
+        h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout, name="mid_res0")(
+            h, t_emb, band, deterministic
+        )
+        h = RotaryAttention2d(
+            num_heads=self.n_attn_heads,
+            rotary_dim=self.rotary_dim,
+            use_input_norm=self.use_attn_input_norm,
+            name="mid_attn",
+        )(h)
+        h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout, name="mid_res1")(
+            h, t_emb, band, deterministic
+        )
+
+        for level in range(n):
+            h = h + skips.pop()
+            ch = hc[n - level]
+            h = block_stack(h, ch, level in dec_attn, f"dec{level}")
+            # nearest ×2 upsample + conv (A2SB/networks.py:126-155)
+            b, hh, ww, cc = h.shape
+            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            h = nn.Conv(hc[n - level - 1], (3, 3), padding=1, name=f"up{level}")(h)
+
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="output_projection")(
+            jax.nn.silu(h)
+        )
+        return h

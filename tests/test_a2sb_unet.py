@@ -1,0 +1,117 @@
+"""AttnUNetF: shape, conditioning, and attention-path tests (tiny configs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_intelligence_tpu.models.a2sb.unet import (
+    AttnUNetF,
+    sinusoidal_temporal_embedding,
+    band_embedding,
+)
+from audio_intelligence_tpu.ops.rotary import (
+    axial_pixel_freqs_np,
+    apply_rotary,
+    rotate_half_interleaved,
+)
+
+
+def tiny_unet(**kw):
+    defaults = dict(
+        n_updown_levels=3,
+        in_channels=3,
+        hidden_channels=(32, 64, 64, 96),
+        out_channels=3,
+        emb_channels=16,
+        band_embedding_dim=4,
+        attention_levels=(2,),
+        n_attn_heads=4,
+        num_res_blocks=1,
+        rotary_dim=4,
+    )
+    defaults.update(kw)
+    return AttnUNetF(**defaults)
+
+
+def test_unet_forward_shape():
+    model = tiny_unet()
+    x = jnp.zeros((2, 32, 16, 3))
+    t_emb = sinusoidal_temporal_embedding(jnp.asarray([0.3, 0.8]), 16)
+    params = model.init(jax.random.PRNGKey(0), x, t_emb)
+    out = model.apply(params, x, t_emb)
+    assert out.shape == (2, 32, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_conditioning_matters():
+    """Different t embeddings must change the output (scale-shift path live).
+
+    At init the ResBlock output convs are zero (matching the reference's
+    ``zero_module``), making the net conditioning-independent — so perturb
+    all params away from zero first.
+    """
+    model = tiny_unet()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 32, 16, 3)), jnp.float32)
+    e1 = sinusoidal_temporal_embedding(jnp.asarray([0.1]), 16)
+    e2 = sinusoidal_temporal_embedding(jnp.asarray([0.9]), 16)
+    params = model.init(jax.random.PRNGKey(0), x, e1)
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype) for l, k in zip(leaves, keys)
+    ]
+    params = jax.tree.unflatten(treedef, leaves)
+    o1 = model.apply(params, x, e1)
+    o2 = model.apply(params, x, e2)
+    assert np.abs(np.asarray(o1 - o2)).max() > 1e-6
+
+    # at clean init, zero-init convs must make the t-conditioning inert
+    params0 = model.init(jax.random.PRNGKey(0), x, e1)
+    np.testing.assert_allclose(
+        np.asarray(model.apply(params0, x, e1)),
+        np.asarray(model.apply(params0, x, e2)),
+        atol=1e-7,
+    )
+
+
+def test_temporal_embedding_matches_reference():
+    """sin/cos over linspace(0.5, 16, 64) multipliers (networks.py:455-471)."""
+    t = np.asarray([0.0, 0.25, 1.0], np.float32)
+    emb = np.asarray(sinusoidal_temporal_embedding(jnp.asarray(t), 128))
+    mult = np.linspace(0.5, 16, 64, dtype=np.float32)
+    ref = np.concatenate([np.sin(t[:, None] * mult), np.cos(t[:, None] * mult)], -1)
+    np.testing.assert_allclose(emb, ref, atol=1e-6)
+
+
+def test_band_embedding_matches_reference():
+    n_bands, dim = 64, 16
+    emb = np.asarray(band_embedding(n_bands, dim))  # [n_bands, dim]
+    coords = np.arange(n_bands)
+    freqs = np.arange(dim // 2) + 1
+    ang = freqs[:, None] * coords[None, :] * 2 * 3.14 / (3 * n_bands)
+    ref = np.concatenate([np.cos(ang), np.sin(ang)], 0).T
+    np.testing.assert_allclose(emb, ref, atol=1e-5)
+
+
+def test_rotary_preserves_norm_and_rotates():
+    h, w, dim = 8, 4, 16
+    angles = jnp.asarray(axial_pixel_freqs_np(h, w, dim, 64.0))
+    assert angles.shape == (h, w, 2 * dim)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 3, h, w, 48)), jnp.float32
+    )
+    y = apply_rotary(x, angles)
+    # rotation preserves the norm of each rotated pair and passes the rest
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(y[..., :32]), axis=-1),
+        np.linalg.norm(np.asarray(x[..., :32]), axis=-1),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(y[..., 32:]), np.asarray(x[..., 32:]))
+
+
+def test_rotate_half_interleaved():
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_allclose(
+        np.asarray(rotate_half_interleaved(x)), [-2.0, 1.0, -4.0, 3.0]
+    )
