@@ -1,0 +1,106 @@
+"""Benchmark entry — prints ONE JSON line.
+
+Headline metric (BASELINE.md rebuild targets): A2SB 44.1 kHz bandwidth-
+extension real-time factor per chip — 50 bridge-sampling steps over a
+130560-sample (≈2.96 s) segment with the flagship AttnUNetF
+(A2SB/configs/pretrain.yaml architecture), bf16 activations/params,
+the whole trajectory one compiled lax.scan. Baseline target: 5× real-time
+per v5e chip (vs_baseline = RTF / 5.0).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+SEGMENT_SAMPLES = 130560
+SAMPLE_RATE = 44100
+N_STEPS = 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu import ops
+    from audio_intelligence_tpu.models.a2sb.bridge import BridgeSchedule
+    from audio_intelligence_tpu.models.a2sb.sampler import bridge_sample
+    from audio_intelligence_tpu.models.a2sb.unet import (
+        AttnUNetF,
+        sinusoidal_temporal_embedding,
+    )
+
+    model = AttnUNetF(
+        n_updown_levels=5,
+        hidden_channels=(128, 256, 512, 768, 1024, 2048),
+        emb_channels=128,
+        band_embedding_dim=16,
+        attention_levels=(3, 4),
+        n_attn_heads=8,
+        num_res_blocks=2,
+    )
+    sched = BridgeSchedule(beta_max=1.0)
+
+    # front-end: wav -> 3x1024x256 mag/inst-phase spec (DC dropped)
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(SEGMENT_SAMPLES).astype(np.float32) * 0.1
+
+    @jax.jit
+    def fwd_chain(x):
+        spec2 = ops.spectrogram(x, n_fft=2048, hop_length=512)
+        msp = ops.complex_to_mag_inst_phase(spec2)
+        msp = ops.drop_dc_term(msp)
+        msp = ops.power_scale_spectrogram(msp, power=0.25, channels=(0,))
+        return jnp.moveaxis(msp, 0, -1)[None]
+
+    x1 = fwd_chain(jnp.asarray(wav))[:, :, :256, :]
+    # BWE mask: bands above 4 kHz unknown
+    cutoff = int(2048 * 4000 / SAMPLE_RATE)
+    mask = (jnp.arange(1024)[None, :, None, None] >= cutoff).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask, x1.shape)
+
+    dtype = jnp.bfloat16
+    t_emb0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
+    params = model.init(jax.random.PRNGKey(0), x1[:, :, :64, :].astype(dtype), t_emb0)
+    params = jax.tree.map(lambda p: p.astype(dtype), params)
+
+    def vf(x_t, t):
+        te = sinusoidal_temporal_embedding(
+            jnp.broadcast_to(t, (x_t.shape[0],)), 128
+        ).astype(dtype)
+        return model.apply(params, x_t.astype(dtype), te).astype(x_t.dtype)
+
+    @jax.jit
+    def restore(key, x1, mask):
+        t_steps = jnp.linspace(1.0, 0.05, N_STEPS + 1)
+        return bridge_sample(vf, sched, key, x1, t_steps, mask=mask)
+
+    key = jax.random.PRNGKey(0)
+    out = restore(key, x1, mask)
+    out.block_until_ready()  # compile + warmup
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = restore(jax.random.PRNGKey(i), x1, mask)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+
+    rtf = (SEGMENT_SAMPLES / SAMPLE_RATE) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "a2sb_bwe_rtf_50step_per_chip",
+                "value": round(rtf, 3),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 5.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
