@@ -1,0 +1,148 @@
+"""GAN critics for VAE training.
+
+The ETTA-VAE flagship uses the EnCodec multi-scale STFT discriminator
+(filters 64, 5 scales n_fft 2048/1024/512/256/128 — etta_vae.json:86-99;
+reference wrapper: ETTA/stable_audio_tools/models/discriminators.py
+EncodecDiscriminator:20-59 around encodec.msstftd.MultiScaleSTFTDiscriminator)
+with hinge losses and L1 feature matching.
+
+Each scale: complex STFT → (re ‖ im per audio channel) 2-D feature map
+[B, T, F, C] → weight-norm conv stack (k 3×9, dilations 1/2/4 in time,
+stride 2 in freq) → logits. All scales share the loss:
+dis = Σ relu(1−D(x)) + relu(1+D(x̂)), adv = −Σ D(x̂),
+fm = Σ_scales mean_layers |f(x) − f(x̂)| / n_layers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from audio_intelligence_tpu.ops.stft import stft
+
+
+class WNConv2d(nn.Module):
+    """Weight-normalized 2-D conv (NHWC), torch weight_norm(dim=0) semantics."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    dilation: tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        v = self.param(
+            "v", nn.initializers.he_uniform(), (kh, kw, in_ch, self.features)
+        )
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(v.reshape(-1, self.features), axis=0),
+            (self.features,),
+        )
+        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dh, dw = self.dilation
+        pad = [((kh - 1) * dh // 2,) * 2, ((kw - 1) * dw // 2,) * 2]
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=self.strides,
+            padding=pad,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
+
+
+class STFTDiscriminator(nn.Module):
+    """One scale of the EnCodec MS-STFT discriminator."""
+
+    n_fft: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    filters: int = 64
+    max_filters: int = 1024
+    dilations: Sequence[int] = (1, 2, 4)
+    in_channels: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        """x: waveform [B, T, C] → (logits map, feature list)."""
+        b, t, c = x.shape
+        spec = stft(
+            jnp.moveaxis(x, -1, 1).reshape(b * c, t),
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            win_length=self.win_length,
+        )  # [B*C, F, frames]
+        # normalized=True in encodec's Spectrogram
+        spec = spec / jnp.sqrt(jnp.sum(jnp.hanning(self.win_length).astype(jnp.float32) ** 2))
+        z = jnp.stack([spec.real, spec.imag], axis=1)  # [B*C, 2, F, T]
+        z = z.reshape(b, c * 2, z.shape[-2], z.shape[-1])
+        z = jnp.transpose(z, (0, 3, 2, 1))  # [B, T, F, 2C] (time, freq as H, W)
+
+        feats = []
+        h = WNConv2d(self.filters, (3, 9), name="conv0")(z)
+        h = jax.nn.leaky_relu(h, 0.2)
+        feats.append(h)
+        in_ch = self.filters
+        for i, d in enumerate(self.dilations):
+            out_ch = min(self.filters * 2 ** (i + 1), self.max_filters)
+            h = WNConv2d(
+                out_ch, (3, 9), strides=(1, 2), dilation=(d, 1), name=f"conv{i+1}"
+            )(h)
+            h = jax.nn.leaky_relu(h, 0.2)
+            feats.append(h)
+            in_ch = out_ch
+        out_ch = min(self.filters * 2 ** (len(self.dilations) + 1), self.max_filters)
+        h = WNConv2d(out_ch, (3, 3), name="conv_pre_post")(h)
+        h = jax.nn.leaky_relu(h, 0.2)
+        feats.append(h)
+        logits = WNConv2d(1, (3, 3), name="conv_post")(h)
+        return logits, feats
+
+
+class MultiScaleSTFTDiscriminator(nn.Module):
+    """All scales; flagship 5 scales (etta_vae.json)."""
+
+    filters: int = 64
+    n_ffts: Sequence[int] = (2048, 1024, 512, 256, 128)
+    hop_lengths: Sequence[int] = (512, 256, 128, 64, 32)
+    win_lengths: Sequence[int] = (2048, 1024, 512, 256, 128)
+    in_channels: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        logits, features = [], []
+        for i, (nf, hl, wl) in enumerate(
+            zip(self.n_ffts, self.hop_lengths, self.win_lengths)
+        ):
+            l, f = STFTDiscriminator(
+                n_fft=nf,
+                hop_length=hl,
+                win_length=wl,
+                filters=self.filters,
+                in_channels=self.in_channels,
+                name=f"disc{i}",
+            )(x)
+            logits.append(l)
+            features.append(f)
+        return logits, features
+
+
+def encodec_gan_losses(logits_true, feats_true, logits_fake, feats_fake):
+    """Hinge + feature-matching losses (discriminators.py:16-59)."""
+    dis_loss = 0.0
+    adv_loss = 0.0
+    fm = 0.0
+    for lt, lf, ft, ff in zip(logits_true, logits_fake, feats_true, feats_fake):
+        dis_loss += jnp.mean(jax.nn.relu(1.0 - lt)) + jnp.mean(jax.nn.relu(1.0 + lf))
+        adv_loss += -jnp.mean(lf)
+        fm += sum(jnp.mean(jnp.abs(a - b)) for a, b in zip(ft, ff)) / len(ft)
+    return dis_loss, adv_loss, fm

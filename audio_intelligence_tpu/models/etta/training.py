@@ -1,0 +1,266 @@
+"""ETTA training loops: RF diffusion and the GAN-VAE two-optimizer loop.
+
+Functional re-design of ETTA/stable_audio_tools/training/diffusion.py
+(DiffusionCondTrainingWrapper:244-710) and training/autoencoders.py
+(AutoencoderTrainingWrapper:29-388):
+
+- Diffusion: t ~ logit-normal, RF target v = noise − x₀, CFG-dropout 0.1
+  (zeroing the cross-attn cond per-sample), masked MSE, EMA (β .9999 power
+  ¾), AdamW + InverseLR (lr 1e-4, inv_gamma 1e6, power .5, warmup .99 —
+  etta_dit.json training block).
+- VAE: generator step (MR-STFT sum/diff perceptual + adversarial 0.1 +
+  feature-matching 5.0 + KL 1e-4) and discriminator step (hinge), strictly
+  alternating after a warmup — expressed as two separately-jitted steps
+  driven by step parity on host, exactly the reference's schedule without
+  Python branching inside jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from audio_intelligence_tpu.train.common import (
+    ema_update,
+    inverse_lr,
+    logit_normal_sample,
+    nan_safe_update,
+)
+from audio_intelligence_tpu.models.etta.discriminators import encodec_gan_losses
+from audio_intelligence_tpu.ops.losses import sum_and_difference_stft_loss, multi_resolution_stft_loss
+
+
+class DiffusionTrainState(NamedTuple):
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_diffusion_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 1e-3,
+    betas=(0.9, 0.999),
+    inv_gamma: float = 1e6,
+    power: float = 0.5,
+    warmup: float = 0.99,
+):
+    return nan_safe_update(
+        optax.adamw(
+            inverse_lr(lr, inv_gamma, power, warmup),
+            b1=betas[0],
+            b2=betas[1],
+            weight_decay=weight_decay,
+        )
+    )
+
+
+def rf_loss(
+    params,
+    dit_apply: Callable,
+    key: jax.Array,
+    latents: jax.Array,
+    cross_attn_cond: jax.Array,
+    cross_attn_mask: jax.Array,
+    global_cond: jax.Array,
+    cfg_dropout_prob: float = 0.1,
+    timestep_mean: float = 0.0,
+    timestep_std: float = 1.0,
+):
+    """Rectified-flow loss (training/diffusion.py:336-510).
+
+    x_t = (1−t)·x₀ + t·ε, target v = ε − x₀, t ~ logit-normal.
+    CFG dropout zeroes the whole cross-attn cond for a Bernoulli(p) subset
+    of the batch (dit.py:295-305 semantics, keyed explicitly).
+    """
+    b = latents.shape[0]
+    k_t, k_noise, k_drop, k_model = jax.random.split(key, 4)
+    t = logit_normal_sample(k_t, (b,), timestep_mean, timestep_std)
+    noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+    tt = t.reshape(-1, 1, 1)
+    x_t = (1.0 - tt) * latents + tt * noise
+    target = noise - latents
+
+    if cfg_dropout_prob > 0:
+        drop = jax.random.bernoulli(k_drop, cfg_dropout_prob, (b, 1, 1))
+        cross_attn_cond = jnp.where(drop, 0.0, cross_attn_cond)
+
+    pred = dit_apply(
+        {"params": params},
+        x_t,
+        t,
+        cross_attn_cond,
+        cross_attn_mask,
+        global_cond,
+        deterministic=False,
+        rngs={"dropout": k_model},
+    )
+    return jnp.mean((pred - target) ** 2)
+
+
+def make_diffusion_train_step(dit_apply: Callable, tx, cfg_dropout_prob: float = 0.1):
+    def step(state: DiffusionTrainState, key, batch):
+        loss, grads = jax.value_and_grad(rf_loss)(
+            state.params,
+            dit_apply,
+            key,
+            batch["latents"],
+            batch["cross_attn_cond"],
+            batch["cross_attn_mask"],
+            batch["global_cond"],
+            cfg_dropout_prob=cfg_dropout_prob,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema_params, params, state.step)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return DiffusionTrainState(params, ema, opt_state, state.step + 1), metrics
+
+    return step
+
+
+class VAETrainState(NamedTuple):
+    gen_params: Any
+    disc_params: Any
+    ema_params: Any
+    gen_opt: Any
+    disc_opt: Any
+    step: jax.Array
+
+
+def make_vae_optimizers(
+    gen_lr: float = 1.5e-4,
+    disc_lr: float = 3e-4,
+    betas=(0.8, 0.99),
+    weight_decay: float = 1e-3,
+    inv_gamma: float = 2e5,
+    power: float = 0.5,
+    warmup: float = 0.999,
+    grad_clip: float = 500.0,
+):
+    """AdamW pairs with InverseLR + clip (etta_vae.json optimizer_configs)."""
+
+    def make(lr):
+        return nan_safe_update(
+            optax.chain(
+                optax.clip_by_global_norm(grad_clip),
+                optax.adamw(
+                    inverse_lr(lr, inv_gamma, power, warmup),
+                    b1=betas[0],
+                    b2=betas[1],
+                    weight_decay=weight_decay,
+                ),
+            )
+        )
+
+    return make(gen_lr), make(disc_lr)
+
+
+def make_vae_train_steps(
+    ae_apply: Callable,
+    disc_apply: Callable,
+    gen_tx,
+    disc_tx,
+    sample_rate: int = 44100,
+    loss_weights: dict | None = None,
+    stereo: bool = True,
+):
+    """Build (gen_step, disc_step) jitted functions.
+
+    ae_apply({'params': p}, x, rng) → (recon, info{kl});
+    disc_apply({'params': p}, x) → (logits list, features list).
+    Flagship weights: mrstft 1.0, adversarial 0.1, feature_matching 5.0,
+    kl 1e-4 (etta_vae.json loss_configs).
+    """
+    w = {"mrstft": 1.0, "adversarial": 0.1, "feature_matching": 5.0, "kl": 1e-4}
+    if loss_weights:
+        w.update(loss_weights)
+
+    def spectral(x, y):
+        # stereo: A-weighted sum&difference + per-channel MR-STFT
+        # (autoencoders.py:130-146)
+        if stereo:
+            sd = sum_and_difference_stft_loss(
+                jnp.moveaxis(x, -1, 1),
+                jnp.moveaxis(y, -1, 1),
+                perceptual_weighting=True,
+                sample_rate=sample_rate,
+            )
+            lr_loss = multi_resolution_stft_loss(
+                jnp.moveaxis(x, -1, 1).reshape(-1, x.shape[1]),
+                jnp.moveaxis(y, -1, 1).reshape(-1, y.shape[1]),
+                perceptual_weighting=True,
+                sample_rate=sample_rate,
+            )
+            return sd + lr_loss
+        return multi_resolution_stft_loss(
+            x[..., 0], y[..., 0], perceptual_weighting=True, sample_rate=sample_rate
+        )
+
+    def gen_loss_fn(gen_params, disc_params, key, reals):
+        recon, info = ae_apply({"params": gen_params}, reals, key)
+        lt, ft = disc_apply({"params": disc_params}, reals)
+        lf, ff = disc_apply({"params": disc_params}, recon)
+        _, adv, fm = encodec_gan_losses(lt, ft, lf, ff)
+        mrstft = spectral(recon, reals)
+        kl = info.get("kl", 0.0)
+        loss = (
+            w["mrstft"] * mrstft
+            + w["adversarial"] * adv
+            + w["feature_matching"] * fm
+            + w["kl"] * kl
+        )
+        return loss, {
+            "loss": loss,
+            "mrstft": mrstft,
+            "adv": adv,
+            "fm": fm,
+            "kl": kl,
+        }
+
+    def disc_loss_fn(disc_params, gen_params, key, reals):
+        recon, _ = ae_apply({"params": gen_params}, reals, key)
+        recon = jax.lax.stop_gradient(recon)
+        lt, ft = disc_apply({"params": disc_params}, reals)
+        lf, ff = disc_apply({"params": disc_params}, recon)
+        dis, _, _ = encodec_gan_losses(lt, ft, lf, ff)
+        return dis, {"loss_dis": dis}
+
+    def gen_step(state: VAETrainState, key, reals):
+        (loss, metrics), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
+            state.gen_params, state.disc_params, key, reals
+        )
+        updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, updates)
+        ema = ema_update(state.ema_params, gen_params, state.step)
+        return (
+            state._replace(
+                gen_params=gen_params, ema_params=ema, gen_opt=gen_opt,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    def disc_step(state: VAETrainState, key, reals):
+        (loss, metrics), grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            state.disc_params, state.gen_params, key, reals
+        )
+        updates, disc_opt = disc_tx.update(grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        return (
+            state._replace(
+                disc_params=disc_params, disc_opt=disc_opt, step=state.step + 1
+            ),
+            metrics,
+        )
+
+    return gen_step, disc_step
+
+
+def vae_step_is_disc(step: int, warmup_steps: int = 0) -> bool:
+    """The reference alternates: discriminator on odd steps once past the
+    warmup (autoencoders.py:319)."""
+    return step > warmup_steps and step % 2 == 1
