@@ -191,6 +191,57 @@ class UALMPreprocessor:
             "conti_feats": conti_feats,
         }
 
+    def build_inference_prompt(self, task: str, data_dict: dict):
+        """Prompt for generation: bos + user/system segments + the
+        assistant role/modality header, WITHOUT assistant content
+        (mirrors the reference prefill: seqs + <|assistant|>,
+        parallel.py:428-447).
+
+        Returns (prompt [T, S], conti_feats).
+        """
+        messages = self._apply_chat_template(task, data_dict)
+        # find the first assistant message — it defines the output modality
+        out_io = None
+        for role, io_name, _ in messages:
+            if role == "assistant":
+                out_io = io_name
+                break
+        seq = [self.special_token("<|bos|>")]
+        conti_feats = []
+        accum_length = 1
+        prompt_msgs = [m for m in messages if m[0] != "assistant"]
+        apply_eots = [
+            m1[0] == m2[0] for m1, m2 in zip(prompt_msgs[:-1], prompt_msgs[1:])
+        ] + [False]
+        for apply_eot, (role, this_io, this_data) in zip(apply_eots, prompt_msgs):
+            io = self.multimodal_io[this_io]
+            seq.append(self.special_token(f"<|{role}|>"))
+            seq.append(self.special_token(self._modality_token(task, io)))
+            accum_length += 2
+            this_seq, conti_feat, _ = io.preprocess(this_data)
+            if io.is_discrete:
+                bias = self.vocab_intervals[this_io][0][0]
+                this_seq = np.where(
+                    this_seq == self.pad_id, self.pad_id, this_seq + bias
+                )
+            if this_seq.shape[1] < self.num_stream:
+                this_seq = np.pad(
+                    this_seq, ((0, 0), (0, self.num_stream - this_seq.shape[1]))
+                )
+            seq.append(this_seq)
+            if conti_feat is not None:
+                length, feat = conti_feat
+                conti_feats.append((this_io, accum_length, length, feat))
+            accum_length += this_seq.shape[0]
+            seq.append(self.special_token("<|eot|>" if apply_eot else "<|eos|>"))
+            accum_length += 1
+
+        seq.append(self.special_token("<|assistant|>"))
+        if out_io is not None:
+            io = self.multimodal_io[out_io]
+            seq.append(self.special_token(self._modality_token(task, io)))
+        return np.concatenate(seq, axis=0), conti_feats
+
     def _apply_cfg(self, seq, loss_masks, conti_feats, messages, rng):
         """Audio-CFG dropout (ualm_job.py:540-568): keep one random
         assistant-audio segment, zero every other segment and the BOS."""

@@ -24,6 +24,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from audio_intelligence_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
 import numpy as np
 
 
@@ -116,7 +120,9 @@ def main(argv=None):
             n_updown_levels=3, hidden_channels=(32, 64, 96, 128),
             attention_levels=(2,), n_attn_heads=4, rotary_dim=8,
         )
-    x_ex = x1[:, :, : args.win_length, :]
+    # init on a full window: the UNet needs W divisible by 2^levels and the
+    # sampler always feeds win_length-frame windows
+    x_ex = jnp.zeros((1, h, args.win_length, 3))
     t_emb0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
     params = model.init(jax.random.PRNGKey(0), x_ex, t_emb0)
     if args.checkpoint:

@@ -18,6 +18,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from audio_intelligence_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
 import numpy as np
 
 

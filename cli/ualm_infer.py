@@ -16,6 +16,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from audio_intelligence_tpu.utils.platform import maybe_force_platform
+
+maybe_force_platform()
+
 import numpy as np
 
 
@@ -113,10 +117,7 @@ def main(argv=None):
     for i, line in enumerate(open(args.test_jsonl)):
         sample = json.loads(line)
         task = sample.get("task", "caption_to_audio")
-        seqd = pre.preprocessing((task, "cli", str(i)), sample)
-        seq = seqd["sequence"]
-        # prompt = everything up to the assistant content start
-        # (bos + user segments + <|assistant|><|modality|>)
+        seq, _ = pre.build_inference_prompt(task, sample)
         prompt = jnp.asarray(seq[None, :, :], jnp.int32)
 
         key, sub = jax.random.split(key)
