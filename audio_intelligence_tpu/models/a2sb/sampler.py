@@ -163,7 +163,8 @@ def bridge_sample(
                     k_mask, x_1.shape, x_1.dtype
                 )
             x_prev = (1.0 - mask) * xt_true + mask * x_prev
-        return (x_prev, key), pred_x0
+        # pin the carry dtype (bf16 inputs must not drift to f32 mid-scan)
+        return (x_prev.astype(x_1.dtype), key), pred_x0
 
     ts_pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
     (_, _), pred_x0s = jax.lax.scan(step, (x_1, key), ts_pairs)

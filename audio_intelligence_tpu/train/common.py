@@ -52,6 +52,56 @@ def logit_normal_sample(key, shape, mean: float = 0.0, std: float = 1.0):
     return jax.nn.sigmoid(mean + std * jax.random.normal(key, shape))
 
 
+def accumulate_gradients(loss_fn, params, microbatches, has_aux: bool = False):
+    """Gradient accumulation over a leading microbatch axis via lax.scan.
+
+    Replaces the reference's Lightning ``accumulate_grad_batches`` /
+    DeepSpeed ``gradient_accumulation_steps``: ``microbatches`` is a pytree
+    whose leaves have shape [n_micro, ...]; returns (mean_loss, mean_grads
+    [, aux of the last microbatch]). Memory stays at one microbatch's
+    activations.
+    """
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
+
+    def step(carry, micro):
+        acc_loss, acc_grads = carry
+        if has_aux:
+            (loss, aux), grads = grad_fn(params, micro)
+        else:
+            loss, grads = grad_fn(params, micro)
+            aux = None
+        acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+        return (acc_loss + loss, acc_grads), aux
+
+    n = jax.tree.leaves(microbatches)[0].shape[0]
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    (total_loss, total_grads), auxes = jax.lax.scan(
+        step, (jnp.zeros((), jnp.float32), zero_grads), microbatches
+    )
+    mean_loss = total_loss / n
+    mean_grads = jax.tree.map(lambda g: g / n, total_grads)
+    if has_aux:
+        return mean_loss, mean_grads, auxes
+    return mean_loss, mean_grads
+
+
+def remat(apply_fn, policy: str = "nothing"):
+    """Activation rematerialization for a model apply fn.
+
+    Replaces the reference's activation checkpointing
+    (UALM ualm_job.py:153-154 gradient_checkpointing_enable, ETTA
+    checkpoint() helpers). policies: 'nothing' (recompute everything),
+    'dots' (save matmul outputs), 'none' (no remat).
+    """
+    if policy == "none":
+        return apply_fn
+    policies = {
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+    }
+    return jax.checkpoint(apply_fn, policy=policies[policy])
+
+
 def nan_safe_update(tx: optax.GradientTransformation):
     """Wrap an optax transform so non-finite global grads skip the step
     (update zeroed, optimizer state preserved)."""

@@ -1,11 +1,16 @@
 """Benchmark entry — prints ONE JSON line.
 
 Headline metric (BASELINE.md rebuild targets): A2SB 44.1 kHz bandwidth-
-extension real-time factor per chip — 50 bridge-sampling steps over a
-130560-sample (≈2.96 s) segment with the flagship AttnUNetF
-(A2SB/configs/pretrain.yaml architecture), bf16 activations/params,
-the whole trajectory one compiled lax.scan. Baseline target: 5× real-time
-per v5e chip (vs_baseline = RTF / 5.0).
+extension real-time factor per chip — 50 bridge-sampling steps with the
+flagship AttnUNetF (A2SB/configs/pretrain.yaml architecture) over a
+23.8 s segment, MultiDiffusion windows (win = hop = 256 frames, the
+``ddpm_sample`` defaults) batched 8-wide per step, bf16, the whole
+trajectory one compiled ``lax.scan``. Baseline target: 5× real-time per
+v5e chip (vs_baseline = RTF / 5.0).
+
+Perf notes (round-1 profiling): per-kernel overhead dominates small
+batches on this chip (~2 ms/op regardless of FLOPs); batching the
+windows reaches ~50% MXU utilization (~22.6 ms/window/step).
 """
 
 from __future__ import annotations
@@ -15,10 +20,11 @@ import time
 
 import numpy as np
 
-
-SEGMENT_SAMPLES = 130560
 SAMPLE_RATE = 44100
+N_FRAMES = 2048  # → 8 windows of 256
+SEGMENT_SAMPLES = N_FRAMES * 512  # 23.78 s
 N_STEPS = 50
+WIN = 256
 
 
 def main():
@@ -33,6 +39,7 @@ def main():
         sinusoidal_temporal_embedding,
     )
 
+    dtype = jnp.bfloat16
     model = AttnUNetF(
         n_updown_levels=5,
         hidden_channels=(128, 256, 512, 768, 1024, 2048),
@@ -44,7 +51,6 @@ def main():
     )
     sched = BridgeSchedule(beta_max=1.0)
 
-    # front-end: wav -> 3x1024x256 mag/inst-phase spec (DC dropped)
     rng = np.random.default_rng(0)
     wav = rng.standard_normal(SEGMENT_SAMPLES).astype(np.float32) * 0.1
 
@@ -56,38 +62,41 @@ def main():
         msp = ops.power_scale_spectrogram(msp, power=0.25, channels=(0,))
         return jnp.moveaxis(msp, 0, -1)[None]
 
-    x1 = fwd_chain(jnp.asarray(wav))[:, :, :256, :]
-    # BWE mask: bands above 4 kHz unknown
+    x1 = fwd_chain(jnp.asarray(wav))[:, :, :N_FRAMES, :]
     cutoff = int(2048 * 4000 / SAMPLE_RATE)
     mask = (jnp.arange(1024)[None, :, None, None] >= cutoff).astype(jnp.float32)
     mask = jnp.broadcast_to(mask, x1.shape)
+    x1 = (x1 * (1 - mask) + mask * 0.5 * jax.random.normal(jax.random.PRNGKey(0), x1.shape)).astype(dtype)
+    mask = mask.astype(dtype)
 
-    dtype = jnp.bfloat16
-    t_emb0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
-    params = model.init(jax.random.PRNGKey(0), x1[:, :, :64, :].astype(dtype), t_emb0)
-    params = jax.tree.map(lambda p: p.astype(dtype), params)
+    # params via eval_shape (no init compile), true bf16
+    te0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128).astype(dtype)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x1[:, :, :WIN, :], te0)
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
 
     def vf(x_t, t):
         te = sinusoidal_temporal_embedding(
             jnp.broadcast_to(t, (x_t.shape[0],)), 128
         ).astype(dtype)
-        return model.apply(params, x_t.astype(dtype), te).astype(x_t.dtype)
+        return model.apply(params, x_t.astype(dtype), te)
 
     @jax.jit
     def restore(key, x1, mask):
-        t_steps = jnp.linspace(1.0, 0.05, N_STEPS + 1)
-        return bridge_sample(vf, sched, key, x1, t_steps, mask=mask)
+        t_steps = jnp.linspace(1.0, 0.05, N_STEPS + 1).astype(dtype)
+        return bridge_sample(
+            vf, sched, key, x1, t_steps, mask=mask,
+            win_length=WIN, hop_length=WIN, chunk_size=N_FRAMES // WIN,
+        )
 
-    key = jax.random.PRNGKey(0)
-    out = restore(key, x1, mask)
-    out.block_until_ready()  # compile + warmup
+    out = restore(jax.random.PRNGKey(0), x1, mask)
+    _ = np.asarray(out)  # compile + warmup, forced sync
 
-    n_rep = 3
     t0 = time.perf_counter()
-    for i in range(n_rep):
-        out = restore(jax.random.PRNGKey(i), x1, mask)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_rep
+    out = restore(jax.random.PRNGKey(1), x1, mask)
+    _ = np.asarray(out)
+    dt = time.perf_counter() - t0
 
     rtf = (SEGMENT_SAMPLES / SAMPLE_RATE) / dt
     print(
