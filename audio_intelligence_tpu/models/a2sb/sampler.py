@@ -67,6 +67,17 @@ def multidiffusion_vf(
     """
     b, h, w, c = x_t.shape
     num_hops = (w - (win_length - hop_length)) // hop_length
+
+    if hop_length == win_length:
+        # non-overlapping windows: pure reshape, no gather/scatter traffic
+        wins = x_t.reshape(b, h, num_hops, win_length, c)
+        wins = jnp.moveaxis(wins, 2, 0).reshape(num_hops * b, h, win_length, c)
+        vf = jax.lax.map(
+            lambda xw: vf_fn(xw[None], t)[0], wins, batch_size=chunk_size
+        )
+        vf = jnp.moveaxis(vf.reshape(num_hops, b, h, win_length, c), 0, 2)
+        return vf.reshape(b, h, w, c)
+
     starts = jnp.arange(num_hops) * hop_length
     idx = starts[:, None] + jnp.arange(win_length)[None, :]  # [hops, win]
 
@@ -115,6 +126,7 @@ def bridge_sample(
     win_length: int | None = None,
     hop_length: int | None = None,
     chunk_size: int = 16,
+    return_all: bool = False,
 ) -> jax.Array:
     """Sample x₀ from the bridge posterior, starting at the corrupted x₁.
 
@@ -122,7 +134,9 @@ def bridge_sample(
     per step — vector field (optionally MultiDiffusion-windowed) → x̂₀ →
     mask-merge with the known region → posterior step → re-noise the known
     region. ``t_steps`` is a descending [n_steps+1] vector (e.g.
-    ``linspace(1, 0.05, 50)``). Returns the final x̂₀ (same width as x_1).
+    ``linspace(1, 0.05, 50)``). Returns the final x̂₀ (same width as x_1),
+    or the whole x̂₀ trajectory when ``return_all`` (the reference keeps
+    all of them; carrying only the last saves n_steps× the state writes).
 
     The whole loop is one ``lax.scan``; nothing leaves the device.
     """
@@ -164,8 +178,17 @@ def bridge_sample(
                 )
             x_prev = (1.0 - mask) * xt_true + mask * x_prev
         # pin the carry dtype (bf16 inputs must not drift to f32 mid-scan)
-        return (x_prev.astype(x_1.dtype), key), pred_x0
+        carry = (x_prev.astype(x_1.dtype), key, pred_x0.astype(x_1.dtype))
+        return carry, (pred_x0 if return_all else None)
 
     ts_pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
-    (_, _), pred_x0s = jax.lax.scan(step, (x_1, key), ts_pairs)
-    return unpad_multidiffusion(pred_x0s[-1], original_width)
+    init = (x_1, key, jnp.zeros_like(x_1))
+
+    def step_adapter(carry, ts):
+        x_t, key, _ = carry
+        return step((x_t, key), ts)
+
+    (_, _, last_pred), pred_x0s = jax.lax.scan(step_adapter, init, ts_pairs)
+    if return_all:
+        return unpad_multidiffusion(pred_x0s, original_width)
+    return unpad_multidiffusion(last_pred, original_width)

@@ -73,6 +73,46 @@ class L2Bottleneck:
 
 
 @dataclass(frozen=True)
+class FSQBottleneck:
+    """Finite Scalar Quantization (bottleneck.py:317-357): per-dim round to
+    ``levels[i]`` buckets with straight-through gradients. Discrete."""
+
+    levels: tuple = (8, 5, 5, 5)
+    is_discrete: bool = True
+
+    def _bound(self, z):
+        l = jnp.asarray(self.levels, z.dtype)
+        half = (l - 1.0) / 2.0
+        return jnp.tanh(z) * half
+
+    def encode(self, x, rng=None):
+        """x [..., len(levels)] → (quantized, {codes})."""
+        z = self._bound(x)
+        zq = jnp.round(z)
+        zq = z + jax.lax.stop_gradient(zq - z)
+        l = jnp.asarray(self.levels)
+        half = (l - 1) // 2
+        digits = (jnp.round(z) + half).astype(jnp.int32)
+        basis = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), jnp.cumprod(l[:-1])]
+        )
+        codes = jnp.sum(digits * basis, axis=-1)
+        return zq, {"codes": codes}
+
+    def decode(self, z):
+        return z
+
+    def decode_tokens(self, codes):
+        l = jnp.asarray(self.levels)
+        basis = jnp.concatenate(
+            [jnp.ones((1,), jnp.int32), jnp.cumprod(l[:-1])]
+        )
+        digits = (codes[..., None] // basis) % l
+        half = (l - 1) // 2
+        return (digits - half).astype(jnp.float32)
+
+
+@dataclass(frozen=True)
 class WassersteinBottleneck:
     """MMD-to-Gaussian regularizer (bottleneck.py:85-131)."""
 

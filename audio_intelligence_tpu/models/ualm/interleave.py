@@ -30,3 +30,57 @@ def delay_deinterleave(codes) -> np.ndarray:
     t_orig = t - n + 1
     outs = [codes[:, i : i + t_orig, i] for i in range(n)]
     return np.stack(outs, axis=-1)
+
+
+# -- other codebook pattern providers (ETTA codebook_patterns.py:21-560) --
+
+
+def parallel_pattern(codes) -> np.ndarray:
+    """ParallelPatternProvider (:358): all streams emitted simultaneously."""
+    return np.asarray(codes)
+
+
+def parallel_unpattern(codes) -> np.ndarray:
+    return np.asarray(codes)
+
+
+def unrolled_pattern(codes, stream_pad_ids) -> np.ndarray:
+    """UnrolledPatternProvider (:371): streams flattened time-major —
+    [B, T, N] → [B, T·N, N] where step t·N+s carries stream s's frame t in
+    its own column (other columns padded)."""
+    codes = np.asarray(codes)
+    b, t, n = codes.shape
+    pads = np.asarray(stream_pad_ids, dtype=codes.dtype)
+    out = np.tile(pads.reshape(1, 1, n), (b, t * n, 1))
+    for s in range(n):
+        out[:, s::n, s] = codes[:, :, s]
+    return out
+
+
+def unrolled_unpattern(codes, n_streams: int) -> np.ndarray:
+    """Inverse of unrolled_pattern: [B, T·N, N] → [B, T, N]."""
+    codes = np.asarray(codes)
+    outs = [codes[:, s::n_streams, s] for s in range(n_streams)]
+    return np.stack(outs, axis=-1)
+
+
+def coarse_first_pattern(codes, stream_pad_ids, delay: int | None = None) -> np.ndarray:
+    """CoarseFirstPattern (:492): stream 0 (the coarse codebook) is
+    emitted for all T frames first; remaining streams follow delayed after
+    the full coarse pass."""
+    codes = np.asarray(codes)
+    b, t, n = codes.shape
+    pads = np.asarray(stream_pad_ids, dtype=codes.dtype)
+    total = t + t  # coarse pass then the rest aligned after it
+    out = np.tile(pads.reshape(1, 1, n), (b, total, 1))
+    out[:, :t, 0] = codes[:, :, 0]
+    for s in range(1, n):
+        out[:, t : t + t, s] = codes[:, :, s]
+    return out
+
+
+def coarse_first_unpattern(codes, n_streams: int) -> np.ndarray:
+    codes = np.asarray(codes)
+    t = codes.shape[1] // 2
+    outs = [codes[:, :t, 0]] + [codes[:, t : 2 * t, s] for s in range(1, n_streams)]
+    return np.stack(outs, axis=-1)

@@ -29,6 +29,10 @@ WIN = 256
 
 def main():
     import jax
+
+    # rbg PRNG: hardware-accelerated random bits on TPU (threefry costs
+    # real time at 25 MB of noise per sampling step)
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from audio_intelligence_tpu import ops
