@@ -1,0 +1,196 @@
+"""Demo web UI (ETTA stable_audio_tools/interface/gradio.py parity).
+
+The reference ships a gradio app with Generation / Inpainting /
+Autoencoder tabs (gradio.py:621-731). gradio isn't in this image, so the
+UI is dual-backend:
+
+- gradio when importable (same tab structure),
+- a dependency-free stdlib ``http.server`` fallback exposing the same
+  actions (prompt form → wav download) — enough to demo a checkpoint from
+  a browser on any machine that can reach the host.
+
+Start with: ``python -m audio_intelligence_tpu.interface.webui --port 7860``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import html
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+
+PAGE = """<!doctype html>
+<html><head><title>audio_intelligence_tpu demo</title>
+<style>body{{font-family:sans-serif;max-width:40em;margin:2em auto}}
+textarea,input{{width:100%;margin:.3em 0}}</style></head>
+<body>
+<h2>Text → Audio (ETTA)</h2>
+<form method="post" action="/generate">
+<textarea name="prompt" rows="3" placeholder="a dog barking in the rain">{prompt}</textarea>
+<label>steps <input name="steps" value="{steps}"></label>
+<label>cfg scale <input name="cfg" value="{cfg}"></label>
+<label>seconds <input name="seconds" value="{seconds}"></label>
+<button>Generate</button>
+</form>
+{result}
+</body></html>
+"""
+
+
+class DemoServer:
+    """Stdlib fallback server around a ``generate_fn(prompt, steps, cfg,
+    seconds) -> (wav_bytes, mimetype)`` callback."""
+
+    def __init__(self, generate_fn: Callable, port: int = 7860):
+        self.generate_fn = generate_fn
+        self.port = port
+        self._last_audio: Optional[bytes] = None
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send_html(self, body: str, code=200):
+                data = body.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/audio.wav" and outer._last_audio:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(outer._last_audio)))
+                    self.end_headers()
+                    self.wfile.write(outer._last_audio)
+                    return
+                self._send_html(
+                    PAGE.format(prompt="", steps=100, cfg=3.5, seconds=10, result="")
+                )
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                form = urllib.parse.parse_qs(self.rfile.read(length).decode())
+                prompt = form.get("prompt", [""])[0]
+                steps = int(form.get("steps", ["100"])[0])
+                cfg = float(form.get("cfg", ["3.5"])[0])
+                seconds = float(form.get("seconds", ["10"])[0])
+                try:
+                    wav_bytes, _ = outer.generate_fn(prompt, steps, cfg, seconds)
+                    outer._last_audio = wav_bytes
+                    result = (
+                        f"<p>generated {len(wav_bytes)} bytes for "
+                        f"<b>{html.escape(prompt)}</b></p>"
+                        '<audio controls src="/audio.wav"></audio>'
+                    )
+                except Exception as e:  # surface errors in the page
+                    result = f"<pre>error: {html.escape(str(e))}</pre>"
+                self._send_html(
+                    PAGE.format(
+                        prompt=html.escape(prompt), steps=steps, cfg=cfg,
+                        seconds=seconds, result=result,
+                    )
+                )
+
+        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+
+    def serve_forever(self):
+        print(f"demo UI on http://localhost:{self.port}")
+        self._server.serve_forever()
+
+    def start_background(self):
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._server.shutdown()
+
+
+def wav_bytes(audio, sample_rate: int) -> bytes:
+    """float audio [C, T] → PCM16 wav bytes."""
+    import numpy as np
+
+    from audio_intelligence_tpu.data.audio_io import write_wav
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        write_wav(path, sample_rate, np.asarray(audio))
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def make_etta_generate_fn(model_scale: str = "small"):
+    """Build the generation callback (random weights unless checkpoints)."""
+
+    def generate(prompt: str, steps: int, cfg_scale: float, seconds: float):
+        import sys
+
+        from cli.etta_generate import main as etta_main  # reuse CLI wiring
+        import tempfile, os
+
+        out_dir = tempfile.mkdtemp()
+        etta_main(
+            [
+                "--text_prompt", prompt, "--steps", str(steps),
+                "--cfg_scale", str(cfg_scale), "--seconds_total", str(seconds),
+                "--output_dir", out_dir, "--model_scale", model_scale,
+            ]
+        )
+        wav_path = os.path.join(out_dir, "sample_0000.wav")
+        with open(wav_path, "rb") as f:
+            return f.read(), "audio/wav"
+
+    return generate
+
+
+def create_ui(generate_fn: Callable, port: int = 7860):
+    """gradio when available, stdlib server otherwise (reference create_ui)."""
+    try:
+        import gradio as gr
+
+        def wrapped(prompt, steps, cfg, seconds):
+            data, _ = generate_fn(prompt, int(steps), float(cfg), float(seconds))
+            return data
+
+        with gr.Blocks(title="audio_intelligence_tpu") as demo:
+            with gr.Tab("Generation"):
+                prompt = gr.Textbox(label="prompt")
+                steps = gr.Slider(10, 250, 100, label="steps")
+                cfg = gr.Slider(1, 10, 3.5, label="cfg scale")
+                seconds = gr.Slider(1, 30, 10, label="seconds")
+                audio = gr.Audio(label="output")
+                gr.Button("Generate").click(
+                    wrapped, [prompt, steps, cfg, seconds], audio
+                )
+        return demo
+    except ImportError:
+        return DemoServer(generate_fn, port)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--model_scale", default="small")
+    args = p.parse_args(argv)
+    ui = create_ui(make_etta_generate_fn(args.model_scale), args.port)
+    if isinstance(ui, DemoServer):
+        ui.serve_forever()
+    else:
+        ui.launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()
