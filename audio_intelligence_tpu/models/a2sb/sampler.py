@@ -68,13 +68,21 @@ def multidiffusion_vf(
     b, h, w, c = x_t.shape
     num_hops = (w - (win_length - hop_length)) // hop_length
 
+    def eval_windows(wins):
+        """Run the model over [N, H, win, C] windows in plain batched calls
+        of ≤chunk_size (static unrolled chunks — a vmapped lax.map lowers
+        the convs noticeably worse on TPU)."""
+        n = wins.shape[0]
+        outs = []
+        for s in range(0, n, chunk_size):
+            outs.append(vf_fn(wins[s : min(s + chunk_size, n)], t))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
     if hop_length == win_length:
         # non-overlapping windows: pure reshape, no gather/scatter traffic
         wins = x_t.reshape(b, h, num_hops, win_length, c)
         wins = jnp.moveaxis(wins, 2, 0).reshape(num_hops * b, h, win_length, c)
-        vf = jax.lax.map(
-            lambda xw: vf_fn(xw[None], t)[0], wins, batch_size=chunk_size
-        )
+        vf = eval_windows(wins)
         vf = jnp.moveaxis(vf.reshape(num_hops, b, h, win_length, c), 0, 2)
         return vf.reshape(b, h, w, c)
 
@@ -85,7 +93,7 @@ def multidiffusion_vf(
     wins = wins.reshape(b, h, num_hops, win_length, c)
     wins = jnp.moveaxis(wins, 2, 0).reshape(num_hops * b, h, win_length, c)
 
-    vf = jax.lax.map(lambda xw: vf_fn(xw[None], t)[0], wins, batch_size=chunk_size)
+    vf = eval_windows(wins)
     vf = vf.reshape(num_hops, b, h, win_length, c)
     vf = jnp.moveaxis(vf, 0, 2)  # [B, H, hops, win, C]
 
