@@ -86,9 +86,11 @@ class UALMPreprocessor:
         row[0, 0] = value
         return row
 
-    def _apply_chat_template(self, task, data_dict):
+    def _apply_chat_template(self, task, data_dict, allow_missing: bool = False):
         """task → [(role, io_name, data)]. Dialogue passthrough when the
-        sample already carries messages (ualm_job.py:492-538)."""
+        sample already carries messages (ualm_job.py:492-538).
+        ``allow_missing`` tolerates absent assistant content (inference
+        prompts are built before the assistant turn exists)."""
         if "messages" in data_dict:
             return [
                 (m["role"], m["io"], m["content"]) for m in data_dict["messages"]
@@ -107,6 +109,11 @@ class UALMPreprocessor:
                 )
             else:
                 raise ValueError(f"unknown entry {entry}")
+            if allow_missing and entry not in data_dict:
+                if role != "assistant":
+                    raise KeyError(f"missing non-assistant entry {entry}")
+                messages.append((role, io_name, None))
+                continue
             messages.append((role, io_name, data_dict[entry]))
         return messages
 
@@ -199,7 +206,7 @@ class UALMPreprocessor:
 
         Returns (prompt [T, S], conti_feats).
         """
-        messages = self._apply_chat_template(task, data_dict)
+        messages = self._apply_chat_template(task, data_dict, allow_missing=True)
         # find the first assistant message — it defines the output modality
         out_io = None
         for role, io_name, _ in messages:
