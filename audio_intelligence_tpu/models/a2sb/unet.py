@@ -152,6 +152,7 @@ class RotaryAttention2d(nn.Module):
     rotary_dim: int = 32
     max_freq: float = 64.0
     use_input_norm: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -180,10 +181,15 @@ class RotaryAttention2d(nn.Module):
         k = k.reshape(b, self.num_heads, h * w, head_dim)
         v = v.reshape(b, self.num_heads, h * w, head_dim)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
-        logits = jnp.einsum("bnqd,bnkd->bnqk", q * scale, k)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+        if self.use_flash and (h * w) % 256 == 0 and head_dim % 32 == 0:
+            from audio_intelligence_tpu.ops.pallas_attention import flash_attention
+
+            out = flash_attention(q, k, v, block_q=256, block_k=256)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
+            logits = jnp.einsum("bnqd,bnkd->bnqk", q * scale, k)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
         out = out.reshape(b, self.num_heads, h, w, head_dim)
         out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, c)
         return out

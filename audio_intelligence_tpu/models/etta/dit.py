@@ -100,12 +100,17 @@ def _attend(q, k, v, bias=None):
 
 
 class SelfAttention(nn.Module):
-    """Fused-QKV self-attention with NeoX RoPE (etta_transformer.py:244-542)."""
+    """Fused-QKV self-attention with NeoX RoPE (etta_transformer.py:244-542).
+
+    use_flash: route through the Pallas flash-attention kernel (the TPU
+    analogue of the reference's flash-attn path) when block shapes allow.
+    """
 
     n_heads: int
     rope_base: float = 16384.0
     use_rope: bool = True
     qknorm: Optional[str] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -123,10 +128,15 @@ class SelfAttention(nn.Module):
         if self.use_rope:
             q = apply_neox_rope(q, self.rope_base)
             k = apply_neox_rope(k, self.rope_base)
-        bias = None
-        if mask is not None:  # mask [B, T] True = valid
-            bias = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
-        out = _attend(q, k, v, bias)
+        if self.use_flash and t % 128 == 0 and d_head % 64 == 0:
+            from audio_intelligence_tpu.ops.pallas_attention import flash_attention
+
+            out = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128)
+        else:
+            bias = None
+            if mask is not None:  # mask [B, T] True = valid
+                bias = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+            out = _attend(q, k, v, bias)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c)
         return nn.Dense(c, use_bias=False, name="o_net")(out)
 

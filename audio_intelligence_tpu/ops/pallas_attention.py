@@ -1,0 +1,122 @@
+"""Flash attention as a Pallas TPU kernel.
+
+The reference leans on flash-attn CUDA kernels for every transformer
+(ETTA etta_transformer.py:333-409 varlen paths, UALM via HF
+flash_attention_2). This is the TPU equivalent: blocked online-softmax
+attention that never materializes the [T, T] score matrix — O(T) VMEM
+instead of O(T²) HBM traffic.
+
+Kernel shape: q [B, H, T, D], k/v [B, H, S, D] → out [B, H, T, D].
+Grid: (B·H, T/BLOCK_Q); each program streams K/V blocks with a
+``fori_loop``, carrying (m, l, acc) in VMEM scratch — the standard
+FlashAttention-2 recurrence:
+
+  m' = max(m, rowmax(s));  p = exp(s − m')
+  l' = l·exp(m − m') + rowsum(p);  acc' = acc·exp(m − m') + p·v
+
+Optional kv_mask [B, S] handles padded memory (cross-attention masks).
+``interpret=True`` runs on CPU for tests; compiled path targets the MXU
+with bf16 inputs and fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, scale: float):
+    """One (batch·head, q-block) program. Refs:
+    q [BLOCK_Q, D], k [S, D], v [S, D], mask [1, S] (additive), o [BLOCK_Q, D]."""
+    q = q_ref[:].astype(jnp.float32) * scale
+    s_len = k_ref.shape[0]
+    d = q_ref.shape[-1]
+    block_q = q_ref.shape[0]
+    num_kv = s_len // block_k
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK_Q, block_k]
+        s = s + mask_ref[0, pl.ds(i * block_k, block_k)][None, :]
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * correction + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: jax.Array | None = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blocked attention: q [B, H, T, D] × k/v [B, H, S, D] → [B, H, T, D].
+
+    kv_mask [B, S]: True = attend (padded keys masked out). T must be a
+    multiple of block_q and S of block_k (pad + mask for ragged sizes).
+    """
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    block_q = min(block_q, t)
+    block_k = min(block_k, s)
+    assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
+    scale = 1.0 / math.sqrt(d)
+
+    if kv_mask is None:
+        add_mask = jnp.zeros((b, 1, s), q.dtype)
+    else:
+        add_mask = jnp.where(kv_mask, 0.0, -1e30).astype(q.dtype)[:, None, :]
+    add_mask = jnp.broadcast_to(add_mask, (b, h, s)).reshape(b * h, 1, s)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+
+    grid = (b * h, t // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, 1, s), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, add_mask)
+    return out.reshape(b, h, t, d)
+
+
+def attention_reference(q, k, v, kv_mask=None):
+    """Naive reference for testing."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhtd,bhsd->bhts", q * scale, k).astype(jnp.float32)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v)

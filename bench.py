@@ -89,17 +89,20 @@ def main():
     @jax.jit
     def restore(key, x1, mask):
         t_steps = jnp.linspace(1.0, 0.05, N_STEPS + 1).astype(dtype)
-        return bridge_sample(
+        out = bridge_sample(
             vf, sched, key, x1, t_steps, mask=mask,
             win_length=WIN, hop_length=WIN, chunk_size=N_FRAMES // WIN,
         )
+        # scalar checksum: forces execution; fetching the full spectrogram
+        # through the dev tunnel would time the transfer, not the chip
+        return out, jnp.sum(out.astype(jnp.float32))
 
-    out = restore(jax.random.PRNGKey(0), x1, mask)
-    _ = np.asarray(out)  # compile + warmup, forced sync
+    _, chk = restore(jax.random.PRNGKey(0), x1, mask)
+    _ = float(chk)  # compile + warmup, forced sync
 
     t0 = time.perf_counter()
-    out = restore(jax.random.PRNGKey(1), x1, mask)
-    _ = np.asarray(out)
+    _, chk = restore(jax.random.PRNGKey(1), x1, mask)
+    _ = float(chk)
     dt = time.perf_counter() - t0
 
     rtf = (SEGMENT_SAMPLES / SAMPLE_RATE) / dt
