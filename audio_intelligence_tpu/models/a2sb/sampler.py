@@ -103,6 +103,72 @@ def multidiffusion_vf(
     return out / counts[None, None, :, None]
 
 
+def find_middle_of_zero_segments(mask_1d) -> list[int]:
+    """Centers of contiguous zero runs in a 1-D 0/1 array
+    (A2SB/utils.py:54-81). Host-side helper for fast-inpaint."""
+    import numpy as np
+
+    m = np.asarray(mask_1d).astype(np.int64)
+    padded = np.concatenate([[1], m, [1]])
+    starts = np.flatnonzero((padded[:-1] == 1) & (padded[1:] == 0))
+    ends = np.flatnonzero((padded[:-1] == 0) & (padded[1:] == 1))
+    return [int((s + e) // 2) for s, e in zip(starts, ends)]
+
+
+def fast_inpaint_sample(
+    vf_fn: Callable,
+    schedule,
+    key: jax.Array,
+    x_1: jax.Array,
+    t_steps: jax.Array,
+    mask: jax.Array,
+    win_length: int = 256,
+    hop_length: int = 256,
+    chunk_size: int = 16,
+) -> jax.Array:
+    """Per-gap local inpainting (``fast_inpaint_ddpm_sample``,
+    A2SB/A2SB_lightning_module.py:148-180): assumes every masked segment is
+    shorter than one window and well separated; samples a win_length window
+    centered on each gap and pastes the result back. The gap schedule runs
+    on host (data-dependent segmentation); each window's sampling is the
+    compiled bridge scan — one compile, reused across gaps.
+
+    mask: 1 = generate (gap), 0 = known. Returns the inpainted x_1.
+    """
+    import numpy as np
+
+    original_width = x_1.shape[-2]
+    x_1, _ = pad_for_multidiffusion(x_1, win_length, hop_length)
+    mask, _ = pad_for_multidiffusion(mask, win_length, hop_length, padding_constant=0.0)
+
+    centers = find_middle_of_zero_segments(1.0 - np.asarray(mask[0, 0, :, 0]))
+    width = x_1.shape[-2]
+
+    sample_window = jax.jit(
+        lambda key, xw, mw: bridge_sample(
+            vf_fn, schedule, key, xw, t_steps, mask=mw,
+            win_length=win_length, hop_length=hop_length, chunk_size=chunk_size,
+        )
+    )
+
+    for center in centers:
+        l_idx = int(center - win_length / 2)
+        r_idx = l_idx + win_length
+        if l_idx < 0:
+            r_idx -= l_idx
+            l_idx = 0
+        if r_idx > width:
+            l_idx -= r_idx - width
+            r_idx = width
+        key, sub = jax.random.split(key)
+        xw = x_1[:, :, l_idx:r_idx, :]
+        mw = mask[:, :, l_idx:r_idx, :]
+        new_x0 = sample_window(sub, xw, mw)
+        x_1 = x_1.at[:, :, l_idx:r_idx, :].set(new_x0)
+
+    return unpad_multidiffusion(x_1, original_width)
+
+
 def select_expert_vf(
     apply_fns: Sequence[Callable], t_cutoffs: Sequence[float]
 ) -> Callable:
@@ -149,15 +215,14 @@ def bridge_sample(
     The whole loop is one ``lax.scan``; nothing leaves the device.
     """
     original_width = x_1.shape[-2]
-    use_md = win_length is not None and hop_length is not None and hop_length < win_length
+    # MultiDiffusion windowing applies whenever a window size is given
+    # (hop == win → non-overlapping tiles, the ddpm_sample default; the
+    # model must always see win_length-frame windows, ref diffusion.py:27).
+    use_md = win_length is not None and hop_length is not None and hop_length <= win_length
     if use_md:
         x_1, _ = pad_for_multidiffusion(x_1, win_length, hop_length)
         if mask is not None:
             mask, _ = pad_for_multidiffusion(mask, win_length, hop_length)
-    elif win_length is not None:
-        x_1, _ = pad_for_multidiffusion(x_1, win_length, win_length)
-        if mask is not None:
-            mask, _ = pad_for_multidiffusion(mask, win_length, win_length)
 
     def eval_vf(x_t, t):
         if use_md:
@@ -165,6 +230,7 @@ def bridge_sample(
                 vf_fn, x_t, t, win_length, hop_length, chunk_size
             )
         return vf_fn(x_t, t)
+
 
     def step(carry, ts):
         x_t, key = carry

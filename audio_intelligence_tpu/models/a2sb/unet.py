@@ -187,9 +187,16 @@ class RotaryAttention2d(nn.Module):
             out = flash_attention(q, k, v, block_q=256, block_k=256)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
-            logits = jnp.einsum("bnqd,bnkd->bnqk", q * scale, k)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-            out = jnp.einsum("bnqk,bnkd->bnqd", probs, v)
+            # keep bf16 operands on the MXU, accumulate fp32
+            logits = jnp.einsum(
+                "bnqd,bnkd->bnqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum(
+                "bnqk,bnkd->bnqd", probs, v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
         out = out.reshape(b, self.num_heads, h, w, head_dim)
         out = jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, h, w, c)
         return out

@@ -90,13 +90,18 @@ def apply_neox_rope(x: jax.Array, base: float) -> jax.Array:
 
 
 def _attend(q, k, v, bias=None):
-    """[B, H, Tq, D] × [B, H, Tk, D] fused attention, fp32 softmax."""
+    """[B, H, Tq, D] × [B, H, Tk, D] fused attention, fp32 softmax;
+    bf16 operands stay on the MXU with fp32 accumulation."""
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
     if bias is not None:
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
 
 
 class SelfAttention(nn.Module):
