@@ -66,16 +66,33 @@ def band_embedding(n_bands: int, dim: int) -> jax.Array:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32 groups) computed in fp32, output cast back to input dtype."""
+    """GroupNorm(32 groups) with fp32 statistics (GroupNorm32 semantics,
+    A2SB/networks.py:25-27).
+
+    TPU note: statistics are accumulated in fp32 (the convert fuses into
+    the reduction) but the normalize/affine elementwise stays in the input
+    dtype — under bf16 this halves the HBM traffic of a full-fp32
+    GroupNorm without changing the stats precision that motivated the
+    reference's fp32 cast."""
 
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x):
         dtype = x.dtype
-        groups = min(self.num_groups, x.shape[-1])
-        y = nn.GroupNorm(num_groups=groups, dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(dtype)
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        gshape = x.shape[:-1] + (groups, c // groups)
+        xg = x.reshape(gshape).astype(jnp.float32)
+        axes = tuple(range(1, len(gshape) - 2)) + (len(gshape) - 1,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = ((xg - mean) * inv).astype(dtype).reshape(x.shape)
+        return y * scale.astype(dtype) + bias.astype(dtype)
 
 
 class ScaleShiftEmbed(nn.Module):
@@ -222,6 +239,7 @@ class AttnUNetF(nn.Module):
     use_attn_input_norm: bool = True
     p_dropout: float = 0.1
     rotary_dim: int = 32
+    use_flash: bool = False
 
     def _level_band_emb(self, n_bands):
         if self.band_embedding_dim == 0:
@@ -248,6 +266,7 @@ class AttnUNetF(nn.Module):
                         num_heads=self.n_attn_heads,
                         rotary_dim=self.rotary_dim,
                         use_input_norm=self.use_attn_input_norm,
+                        use_flash=self.use_flash,
                         name=f"{name}_attn{i}",
                     )(h)
             return h
@@ -271,6 +290,7 @@ class AttnUNetF(nn.Module):
             num_heads=self.n_attn_heads,
             rotary_dim=self.rotary_dim,
             use_input_norm=self.use_attn_input_norm,
+            use_flash=self.use_flash,
             name="mid_attn",
         )(h)
         h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout, name="mid_res1")(

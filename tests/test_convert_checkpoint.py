@@ -96,7 +96,7 @@ def test_a2sb_unet_conversion_structure():
     torch_res("dec_blocks.1.0", "dec1_res0")
     torch_res("dec_blocks.1.1", "dec1_res1")
     torch_conv("us_layers.1.conv", ref_paths["up1/kernel"])
-    torch_gn("output_projection.0", ref_paths["out_norm/GroupNorm_0/scale"][0])
+    torch_gn("output_projection.0", ref_paths["out_norm/scale"][0])
     torch_conv("output_projection.2", ref_paths["output_projection/kernel"])
 
     params = convert_a2sb_unet(

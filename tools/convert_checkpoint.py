@@ -73,17 +73,17 @@ def convert_a2sb_unet(
         put(f"{dst}/bias", sd[f"{src}.bias"])
 
     def resblock(dst, src):
-        groupnorm(f"{dst}/GroupNorm32_0/GroupNorm_0", f"{src}.in_layers.0")
+        groupnorm(f"{dst}/GroupNorm32_0", f"{src}.in_layers.0")
         conv(f"{dst}/in_conv", f"{src}.in_layers.2")
         w = sd[f"{src}.emb_layers.1.weight"][:, :, 0, 0]  # [2C, E]
         put(f"{dst}/emb_proj/kernel", w.T)
         put(f"{dst}/emb_proj/bias", sd[f"{src}.emb_layers.1.bias"])
-        groupnorm(f"{dst}/out_norm/GroupNorm_0", f"{src}.out_norm")
+        groupnorm(f"{dst}/out_norm", f"{src}.out_norm")
         conv(f"{dst}/out_conv", f"{src}.out_rest.2")
 
     def attn(dst, src):
         if f"{src}.gnorm.weight" in sd:
-            groupnorm(f"{dst}/gnorm/GroupNorm_0", f"{src}.gnorm")
+            groupnorm(f"{dst}/gnorm", f"{src}.gnorm")
         for proj in ("q_proj", "k_proj", "v_proj"):
             conv(f"{dst}/{proj}", f"{src}.{proj}")
 
@@ -115,7 +115,7 @@ def convert_a2sb_unet(
     attn("mid_attn", "middle_block.1")
     resblock("mid_res1", "middle_block.2")
 
-    groupnorm("out_norm/GroupNorm_0", "output_projection.0")
+    groupnorm("out_norm", "output_projection.0")
     conv("output_projection", "output_projection.2")
     return out
 
