@@ -91,8 +91,10 @@ class GroupNorm32(nn.Module):
         mean = jnp.mean(xg, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
         inv = jax.lax.rsqrt(var + 1e-5)
-        y = ((xg - mean) * inv).astype(dtype).reshape(x.shape)
-        return y * scale.astype(dtype) + bias.astype(dtype)
+        # full-fp32 normalize+affine like the reference (measured faster
+        # than a bf16 elementwise variant — XLA fuses the converts anyway)
+        y = ((xg - mean) * inv).reshape(x.shape)
+        return (y * scale + bias).astype(dtype)
 
 
 class ScaleShiftEmbed(nn.Module):
