@@ -39,6 +39,13 @@ class BackboneConfig:
     rope_theta: float = 1e6
     rms_eps: float = 1e-6
     qkv_bias: bool = True  # Qwen2 convention
+    # MoE (Qwen3-MoE-style sparse FFN; 0 experts = dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0
+    # capacity factor e/k guarantees no token drops (needed for exact
+    # prefill↔decode consistency); lower values match training-time MoE
+    moe_capacity_factor: float = 1.25
 
     @staticmethod
     def qwen25_1_5b():
@@ -159,10 +166,24 @@ class DecoderLayer(nn.Module):
             layer_cache,
         )
         x = x + h
-        x = x + MLP(self.cfg, name="mlp")(
-            RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x)
-        )
-        return x, new_cache
+        normed = RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x)
+        aux = 0.0
+        if self.cfg.num_experts > 0:
+            from audio_intelligence_tpu.models.ualm.moe import SparseMoEBlock
+
+            ffn_out, aux = SparseMoEBlock(
+                hidden_size=self.cfg.hidden_size,
+                intermediate_size=self.cfg.moe_intermediate_size
+                or self.cfg.intermediate_size,
+                num_experts=self.cfg.num_experts,
+                top_k=self.cfg.num_experts_per_tok,
+                capacity_factor=self.cfg.moe_capacity_factor,
+                name="moe",
+            )(normed)
+            x = x + ffn_out
+        else:
+            x = x + MLP(self.cfg, name="mlp")(normed)
+        return x, new_cache, aux
 
 
 class QwenBackbone(nn.Module):
@@ -216,18 +237,21 @@ class QwenBackbone(nn.Module):
 
         x = embeds
         new_k, new_v = [], []
+        moe_aux = 0.0
         for i in range(cfg.num_layers):
             layer_cache = None
             if cache is not None:
                 layer_cache = (cache.k[i], cache.v[i], cache.index)
-            x, lc = DecoderLayer(cfg, name=f"layers_{i}")(
+            x, lc, aux = DecoderLayer(cfg, name=f"layers_{i}")(
                 x, position_ids, bias, layer_cache
             )
+            moe_aux = moe_aux + aux
             if lc is not None:
                 new_k.append(lc[0])
                 new_v.append(lc[1])
 
         x = RMSNorm(cfg.rms_eps, name="norm")(x)
+        self.sow("intermediates", "moe_aux", moe_aux)
         if cache is not None:
             new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.index + t)
             return x, new_cache
