@@ -182,3 +182,75 @@ def test_oobleck_conversion_matches_torch_wn_conv():
         {"params": jax.tree.map(jnp.asarray, params["first_conv"])}, jnp.asarray(x)
     )
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4, rtol=1e-4)
+
+
+def test_etta_dit_conversion_structure():
+    from tools.convert_checkpoint import convert_etta_dit
+    from audio_intelligence_tpu.models.etta.dit import DiffusionTransformer
+
+    model = DiffusionTransformer(
+        io_channels=4, embed_dim=32, depth=1, num_heads=2,
+        cond_token_dim=8, global_cond_dim=16, xattn_heads=2, xattn_d_memory=8,
+    )
+    x = jnp.zeros((1, 8, 4))
+    cond = jnp.zeros((1, 3, 8))
+    mask = jnp.ones((1, 3), bool)
+    g = jnp.zeros((1, 16))
+    ref = model.init(
+        jax.random.PRNGKey(0), x, jnp.asarray([0.5]), cond, mask, g
+    )["params"]
+    ref_paths = _tree_paths(ref)
+
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def t_linear(src, dst, bias=True):
+        i, o = ref_paths[f"{dst}/kernel"]
+        sd[f"{src}.weight"] = rng.standard_normal((o, i)).astype(np.float32)
+        if bias:
+            sd[f"{src}.bias"] = rng.standard_normal(o).astype(np.float32)
+
+    def t_conv1(src, dst, bias=True):
+        k, i, o = ref_paths[f"{dst}/kernel"]
+        sd[f"{src}.weight"] = rng.standard_normal((o, i, k)).astype(np.float32)
+        if bias:
+            sd[f"{src}.bias"] = rng.standard_normal(o).astype(np.float32)
+
+    sd["timestep_features.weight"] = rng.standard_normal(
+        ref_paths["timestep_features/weight"]
+    ).astype(np.float32)
+    t_linear("to_timestep_embed.0", "to_timestep_embed_fc1")
+    t_linear("to_timestep_embed.2", "to_timestep_embed_fc2")
+    t_linear("to_cond_embed.0", "to_cond_embed/fc1", bias=False)
+    t_linear("to_cond_embed.2", "to_cond_embed/fc2", bias=False)
+    t_linear("to_global_embed.0", "to_global_embed/fc1", bias=False)
+    t_linear("to_global_embed.2", "to_global_embed/fc2", bias=False)
+    t_conv1("preprocess_conv", "preprocess_conv", bias=False)
+    t_conv1("postprocess_conv", "postprocess_conv", bias=False)
+    t_conv1("transformer.project_in", "project_in")
+    b = "transformer.model.blocks.0"
+    t_linear(f"{b}.adaLN_modulation.1", "block0/adaLN_modulation")
+    t_linear(f"{b}.self_attention.qkv_net", "block0/self_attention/qkv_net", bias=False)
+    t_linear(f"{b}.self_attention.o_net", "block0/self_attention/o_net", bias=False)
+    t_linear(f"{b}.cross_attention.q_net", "block0/cross_attention/q_net", bias=False)
+    t_linear(f"{b}.cross_attention.kv_net", "block0/cross_attention/kv_net", bias=False)
+    t_linear(f"{b}.cross_attention.o_net", "block0/cross_attention/o_net", bias=False)
+    sd[f"{b}.norm_xattn_cross.weight"] = rng.standard_normal(
+        ref_paths["block0/norm_xattn_cross/LayerNorm_0/scale"]
+    ).astype(np.float32)
+    sd[f"{b}.norm_pos_ff.weight"] = rng.standard_normal(
+        ref_paths["block0/norm_pos_ff/LayerNorm_0/scale"]
+    ).astype(np.float32)
+    t_conv1(f"{b}.pos_ff.proj.conv", "block0/pos_ff/proj", bias=False)
+    t_conv1(f"{b}.pos_ff.o_net.conv", "block0/pos_ff/o_net", bias=False)
+    t_linear("transformer.project_out.adaLN_modulation.1", "project_out/adaLN_modulation")
+    t_linear("transformer.project_out.linear", "project_out/linear")
+
+    params = convert_etta_dit(sd, depth=1, strip_prefix="model.model.")
+    assert _tree_paths(params) == ref_paths
+
+    out = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        x, jnp.asarray([0.5]), cond, mask, g,
+    )
+    assert np.isfinite(np.asarray(out)).all()

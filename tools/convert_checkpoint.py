@@ -184,9 +184,80 @@ def convert_oobleck(
     return out
 
 
+def convert_etta_dit(
+    state_dict: dict,
+    depth: int = 24,
+    strip_prefix: str = "model.model.",
+) -> dict:
+    """Reference ``DiffusionTransformer`` (etta_transformer backend) state
+    dict → flax params for models/etta/dit.DiffusionTransformer.
+
+    Reference torch names (dit.py + etta_transformer.py):
+    timestep_features.weight; to_timestep_embed.{0,2}; to_cond_embed.{0,2};
+    to_global_embed.{0,2}; preprocess_conv/postprocess_conv (1×1 Conv1d,
+    no bias); transformer.project_in (Conv1d k=1);
+    transformer.model.blocks.{i}.{adaLN_modulation.1, self_attention.qkv_net/
+    o_net, cross_attention.q_net/kv_net/o_net, norm_xattn_cross.weight,
+    norm_pos_ff.weight, pos_ff.proj.conv/o_net.conv};
+    transformer.project_out.{adaLN_modulation.1, linear}.
+    """
+    sd = {
+        k[len(strip_prefix):] if k.startswith(strip_prefix) else k: np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    out: dict = {}
+
+    def put(path, value):
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def linear(dst, src, bias=True):
+        put(f"{dst}/kernel", sd[f"{src}.weight"].T)
+        if bias and f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    def conv1(dst, src, bias=True):
+        put(f"{dst}/kernel", _conv1d(sd[f"{src}.weight"]))
+        if bias and f"{src}.bias" in sd:
+            put(f"{dst}/bias", sd[f"{src}.bias"])
+
+    put("timestep_features/weight", sd["timestep_features.weight"])
+    linear("to_timestep_embed_fc1", "to_timestep_embed.0")
+    linear("to_timestep_embed_fc2", "to_timestep_embed.2")
+    linear("to_cond_embed/fc1", "to_cond_embed.0", bias=False)
+    linear("to_cond_embed/fc2", "to_cond_embed.2", bias=False)
+    linear("to_global_embed/fc1", "to_global_embed.0", bias=False)
+    linear("to_global_embed/fc2", "to_global_embed.2", bias=False)
+    conv1("preprocess_conv", "preprocess_conv", bias=False)
+    conv1("postprocess_conv", "postprocess_conv", bias=False)
+    conv1("project_in", "transformer.project_in")
+
+    for i in range(depth):
+        src = f"transformer.model.blocks.{i}"
+        dst = f"block{i}"
+        linear(f"{dst}/adaLN_modulation", f"{src}.adaLN_modulation.1")
+        linear(f"{dst}/self_attention/qkv_net", f"{src}.self_attention.qkv_net", bias=False)
+        linear(f"{dst}/self_attention/o_net", f"{src}.self_attention.o_net", bias=False)
+        linear(f"{dst}/cross_attention/q_net", f"{src}.cross_attention.q_net", bias=False)
+        linear(f"{dst}/cross_attention/kv_net", f"{src}.cross_attention.kv_net", bias=False)
+        linear(f"{dst}/cross_attention/o_net", f"{src}.cross_attention.o_net", bias=False)
+        put(f"{dst}/norm_xattn_cross/LayerNorm_0/scale", sd[f"{src}.norm_xattn_cross.weight"])
+        put(f"{dst}/norm_pos_ff/LayerNorm_0/scale", sd[f"{src}.norm_pos_ff.weight"])
+        conv1(f"{dst}/pos_ff/proj", f"{src}.pos_ff.proj.conv", bias=False)
+        conv1(f"{dst}/pos_ff/o_net", f"{src}.pos_ff.o_net.conv", bias=False)
+
+    linear("project_out/adaLN_modulation", "transformer.project_out.adaLN_modulation.1")
+    linear("project_out/linear", "transformer.project_out.linear")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--kind", choices=["a2sb_unet", "oobleck_encoder", "oobleck_decoder"], required=True)
+    p.add_argument("--kind", choices=["a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit"], required=True)
+    p.add_argument("--depth", type=int, default=24)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--n_blocks", type=int, default=5)
@@ -203,6 +274,8 @@ def main(argv=None):
         params = convert_a2sb_unet(sd)
     elif args.kind == "oobleck_encoder":
         params = convert_oobleck(sd, args.n_blocks, decoder=False)
+    elif args.kind == "etta_dit":
+        params = convert_etta_dit(sd, depth=args.depth)
     else:
         params = convert_oobleck(sd, args.n_blocks, decoder=True)
 
