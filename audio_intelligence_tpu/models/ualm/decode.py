@@ -55,6 +55,23 @@ def topk_temperature_sample(key, logits, top_k: int = 20, temperature: float = 0
     return jax.random.categorical(key, filtered / jnp.maximum(temperature, 1e-6))
 
 
+def top_p_sample(key, logits, top_p: float = 0.9, temperature: float = 1.0):
+    """Nucleus sampling (ETTA models/utils.py top-p parity): keep the
+    smallest prefix of the sorted distribution whose mass ≥ top_p."""
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens while the mass BEFORE them is < top_p (always ≥ 1 token)
+    keep_sorted = (cum - probs) < top_p
+    # threshold = smallest kept logit
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    filtered = jnp.where(logits >= thresh, logits, -1e9)
+    return jax.random.categorical(key, filtered)
+
+
 def generate_segment(
     model: ParallelLM,
     variables,

@@ -93,3 +93,21 @@ def test_generate_segment_cfg_branch_runs():
         key=jax.random.PRNGKey(0), cfg_scale=1.0,
     )
     assert tokens.shape == tokens1.shape
+
+
+def test_top_p_sampling():
+    from audio_intelligence_tpu.models.ualm.decode import top_p_sample
+    import jax.numpy as jnp
+
+    # distribution: p = [0.5, 0.3, 0.15, 0.05]; top_p=0.7 keeps first two
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    seen = set()
+    for i in range(50):
+        tok = int(top_p_sample(jax.random.PRNGKey(i), logits, top_p=0.7)[0])
+        seen.add(tok)
+    assert seen <= {0, 1}
+    # top_p=1.0 can sample anything
+    seen = set()
+    for i in range(200):
+        seen.add(int(top_p_sample(jax.random.PRNGKey(i), logits, top_p=1.0)[0]))
+    assert len(seen) >= 3
