@@ -28,7 +28,17 @@ WIN = 256
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the flagship restore program takes
+    # ~10 min to compile on the axon relay; a pre-warmed cache (committed
+    # under .jax_cache) makes reruns start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     # rbg PRNG: hardware-accelerated random bits on TPU (threefry costs
     # real time at 25 MB of noise per sampling step)
