@@ -101,6 +101,18 @@ def rf_loss(
     return jnp.mean((pred - target) ** 2)
 
 
+def per_sigma_loss_buckets(
+    t: jax.Array, per_sample_loss: jax.Array, n_buckets: int = 10
+) -> jax.Array:
+    """Mean loss per timestep bucket (ETTA log_loss_info,
+    training/diffusion.py:466-494 — the reference all_gathers across ranks;
+    under GSPMD the mean is already global). Returns [n_buckets]."""
+    idx = jnp.clip((t * n_buckets).astype(jnp.int32), 0, n_buckets - 1)
+    sums = jnp.zeros(n_buckets).at[idx].add(per_sample_loss)
+    counts = jnp.zeros(n_buckets).at[idx].add(1.0)
+    return sums / jnp.maximum(counts, 1.0)
+
+
 def make_diffusion_train_step(dit_apply: Callable, tx, cfg_dropout_prob: float = 0.1):
     def step(state: DiffusionTrainState, key, batch):
         loss, grads = jax.value_and_grad(rf_loss)(

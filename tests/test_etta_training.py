@@ -141,3 +141,15 @@ def test_hinge_losses():
     np.testing.assert_allclose(float(dis), 0.0)  # perfectly separated
     np.testing.assert_allclose(float(adv), 2.0)
     np.testing.assert_allclose(float(fm), 1.0)
+
+
+def test_per_sigma_loss_buckets():
+    from audio_intelligence_tpu.models.etta.training import per_sigma_loss_buckets
+
+    t = jnp.asarray([0.05, 0.15, 0.95, 0.12])
+    loss = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    buckets = per_sigma_loss_buckets(t, loss, n_buckets=10)
+    assert buckets.shape == (10,)
+    np.testing.assert_allclose(float(buckets[0]), 1.0)
+    np.testing.assert_allclose(float(buckets[1]), 3.0)  # mean(2, 4)
+    np.testing.assert_allclose(float(buckets[9]), 3.0)
