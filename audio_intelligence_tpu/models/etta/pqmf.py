@@ -18,6 +18,39 @@ import jax
 import jax.numpy as jnp
 
 
+_DELAYS: dict = {}
+
+
+def pqmf_delay(n_band: int = 4, attenuation: int = 100) -> int:
+    """End-to-end analysis→synthesis group delay in samples, calibrated
+    through the actual jax conv ops (padding geometry differs from the
+    numpy gain-calibration mirror)."""
+    key = ("jax", n_band, attenuation)
+    if key not in _DELAYS:
+        t_len = 4096
+        tt = np.arange(t_len) / t_len
+        x = np.sin(2 * np.pi * (5 + 0.4 * t_len * tt) * tt).astype(np.float32)
+        rec = np.asarray(
+            pqmf_synthesis(
+                pqmf_analysis(jnp.asarray(x)[None, :, None], n_band, attenuation),
+                n_band,
+                attenuation,
+            )
+        )[0, :, 0]
+        margin = 512
+        a = x[margin : t_len - margin]
+        best = (1e30, 0)
+        for d in range(-margin, margin):
+            lo = margin + d
+            if lo < 0 or lo + len(a) > len(rec):
+                continue
+            err = float(np.mean((rec[lo : lo + len(a)] - a) ** 2))
+            if err < best[0]:
+                best = (err, d)
+        _DELAYS[key] = int(best[1])
+    return _DELAYS[key]
+
+
 @functools.lru_cache(maxsize=8)
 def _prototype(attenuation: int, n_band: int, taps_mult: int = 8):
     """Kaiser prototype lowpass via the standard cutoff optimization."""
@@ -88,6 +121,7 @@ def pqmf_banks(n_band: int = 4, attenuation: int = 100):
         if abs(num / den) > abs(best[0]):
             best = (num / den, d)
     gain = best[0] if best[0] != 0 else 1.0
+    _DELAYS[(n_band, attenuation)] = int(best[1])
     return analysis, (synthesis / gain).astype(np.float32)
 
 
@@ -139,11 +173,12 @@ def pqmf_synthesis(subbands: jax.Array, n_band: int = 4, attenuation: int = 100)
     """subbands [B, L, n_band] → wav [B, L·n_band, 1]."""
     _, synthesis = pqmf_banks(n_band, attenuation)
     taps = synthesis.shape[1]
-    # upsample each band by n_band (zero-stuffing) then filter and sum
+    # upsample each band by n_band (zero-stuffing) then filter and sum;
+    # right-pad so the output is exactly L·n_band samples
     kernel = jnp.asarray(synthesis.T)[:, :, None] * n_band  # [taps, n_band, 1]
     pad = taps // 2
     return jax.lax.conv_general_dilated(
         subbands, kernel, window_strides=(1,),
-        padding=[(pad, pad)], lhs_dilation=(n_band,),
+        padding=[(pad, pad + n_band - 1)], lhs_dilation=(n_band,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
