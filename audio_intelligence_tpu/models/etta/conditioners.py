@@ -116,6 +116,35 @@ def t5_embed_host(
     return out.numpy(), mask.numpy()
 
 
+class TokenizerLUTConditioner(nn.Module):
+    """Learned token-embedding conditioner
+    (conditioners.py TokenizerLUTConditioner:384-440): token ids → LUT
+    embeddings + mask. Tokenization happens host-side (HF tokenizer when
+    available, ByteTextIO otherwise); the module consumes id arrays."""
+
+    vocab_size: int
+    output_dim: int
+    max_length: int = 128
+
+    @nn.compact
+    def __call__(self, token_ids, mask):
+        emb = nn.Embed(self.vocab_size, self.output_dim, name="lut")(token_ids)
+        emb = emb * mask[..., None].astype(emb.dtype)
+        return emb, mask
+
+
+def tokenize_for_lut(texts, max_length: int = 128):
+    """Host-side byte-level tokenization for TokenizerLUTConditioner
+    (ids in [1, 256]; 0 = pad)."""
+    ids = np.zeros((len(texts), max_length), np.int32)
+    mask = np.zeros((len(texts), max_length), bool)
+    for i, t in enumerate(texts):
+        b = np.frombuffer(str(t).encode("utf-8"), np.uint8)[: max_length]
+        ids[i, : len(b)] = b.astype(np.int32) + 1
+        mask[i, : len(b)] = True
+    return ids, mask
+
+
 class MultiConditioner(nn.Module):
     """Applies per-id conditioners to a metadata batch
     (conditioners.py:472-513).

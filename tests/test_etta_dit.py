@@ -193,3 +193,19 @@ def test_multiconditioner_and_routing():
     assert cross.shape == (2, 8 + 2, 16)
     assert cross_mask.shape == (2, 10)
     assert g.shape == (2, 32)
+
+
+def test_tokenizer_lut_conditioner():
+    from audio_intelligence_tpu.models.etta.conditioners import (
+        TokenizerLUTConditioner,
+        tokenize_for_lut,
+    )
+
+    ids, mask = tokenize_for_lut(["hi", "longer text"], max_length=8)
+    assert ids.shape == (2, 8) and mask[0, :2].all() and not mask[0, 2:].any()
+    cond = TokenizerLUTConditioner(vocab_size=257, output_dim=16, max_length=8)
+    params = cond.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask))
+    emb, m = cond.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    assert emb.shape == (2, 8, 16)
+    # padded positions zeroed
+    assert np.abs(np.asarray(emb[0, 2:])).max() == 0
