@@ -136,6 +136,59 @@ class MultiScaleSTFTDiscriminator(nn.Module):
         return logits, features
 
 
+class SharedDiscriminatorConvNet(nn.Module):
+    """Weight-norm conv stack critic (discriminators.py:66-118) — the
+    building block of the Oobleck discriminator. 1-D variant (NWC)."""
+
+    capacity: int = 32
+    n_layers: int = 4
+    kernel_size: int = 15
+    stride: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        """x [B, T, C] → (score [B], features list)."""
+        from audio_intelligence_tpu.models.etta.vae import WNConv
+
+        feats = []
+        channels = [self.capacity * 2**i for i in range(self.n_layers)]
+        h = x
+        for i, ch in enumerate(channels):
+            h = WNConv(
+                ch, self.kernel_size, stride=self.stride,
+                padding=self.kernel_size // 2, name=f"conv{i}",
+            )(h)
+            feats.append(h)
+            h = jax.nn.silu(h)
+        h = WNConv(1, 1, name="conv_out")(h)
+        feats.append(h)
+        score = jnp.mean(h.reshape(h.shape[0], -1), axis=-1)
+        return score, feats
+
+
+class OobleckDiscriminator(nn.Module):
+    """Multi-scale 1-D critic ensemble (discriminators.py:121-167):
+    the waveform at {1×, ½, ¼} rates through shared-architecture convnets."""
+
+    capacity: int = 32
+    n_scales: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        logits, features = [], []
+        h = x
+        for i in range(self.n_scales):
+            score, feats = SharedDiscriminatorConvNet(
+                capacity=self.capacity, name=f"scale{i}"
+            )(h)
+            logits.append(score[:, None, None, None])  # broadcastable like MS-STFT
+            features.append(feats)
+            # ×2 average-pool downsample between scales
+            t2 = (h.shape[1] // 2) * 2
+            h = h[:, :t2].reshape(h.shape[0], t2 // 2, 2, h.shape[-1]).mean(axis=2)
+        return logits, features
+
+
 def encodec_gan_losses(logits_true, feats_true, logits_fake, feats_fake):
     """Hinge + feature-matching losses (discriminators.py:16-59)."""
     dis_loss = 0.0

@@ -153,3 +153,16 @@ def test_per_sigma_loss_buckets():
     np.testing.assert_allclose(float(buckets[0]), 1.0)
     np.testing.assert_allclose(float(buckets[1]), 3.0)  # mean(2, 4)
     np.testing.assert_allclose(float(buckets[9]), 3.0)
+
+
+def test_oobleck_discriminator():
+    from audio_intelligence_tpu.models.etta.discriminators import OobleckDiscriminator
+
+    disc = OobleckDiscriminator(capacity=4, n_scales=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 256, 1)), jnp.float32)
+    v = disc.init(jax.random.PRNGKey(0), x)
+    logits, feats = disc.apply(v, x)
+    assert len(logits) == 2 and len(feats) == 2
+    # hinge/fm losses compose with the shared loss fn
+    dis, adv, fm = encodec_gan_losses(logits, feats, logits, feats)
+    assert np.isfinite(float(dis)) and float(fm) == 0.0
