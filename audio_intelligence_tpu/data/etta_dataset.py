@@ -27,6 +27,49 @@ from audio_intelligence_tpu.data.audio_io import read_wav
 AUDIO_EXTENSIONS = (".wav", ".flac", ".ogg", ".mp3", ".aif", ".aiff", ".opus")
 
 
+def create_dataloader_from_config(
+    dataset_config: dict,
+    sample_size: int,
+    sample_rate: int,
+    audio_channels: int = 2,
+    batch_size: int = 4,
+    seed: int = 0,
+):
+    """Dataset-config → (train iterator factory, valid datasets)
+    (ETTA data/dataset.py create_dataloader_from_config:660-910 schema).
+
+    dataset_config: {"dataset_type": "audio_dir"|"location_caption_pair_manifests",
+    "datasets": [{"path"|"manifest_path": ..., "custom_metadata_module": opt}],
+    "valid_datasets": [...] (optional)}.
+    """
+
+    def build(ds_list):
+        configs = []
+        for d in ds_list:
+            kind = dataset_config.get("dataset_type", "audio_dir")
+            if kind in ("location_caption_pair", "location_caption_pair_manifests"):
+                configs.append(
+                    {"type": "location_caption_pair",
+                     "path": d.get("manifest_path") or d.get("path")}
+                )
+            else:
+                configs.append({"type": "audio_dir", "path": d["path"]})
+        return SampleDataset(
+            configs=configs, sample_size=sample_size, sample_rate=sample_rate,
+            channels=audio_channels,
+        )
+
+    train_ds = build(dataset_config.get("datasets", []))
+    valid = [build([d]) for d in dataset_config.get("valid_datasets", [])]
+    rng = np.random.default_rng(seed)
+
+    def train_iter():
+        while True:
+            yield from train_ds.iter_batches(batch_size, rng)
+
+    return train_iter, train_ds, valid
+
+
 def get_audio_filenames(paths: Sequence[str], exts=AUDIO_EXTENSIONS) -> list[str]:
     """Recursive scan (fast_scandir analogue)."""
     out = []

@@ -45,7 +45,7 @@ class WNConv2d(nn.Module):
             (self.features,),
         )
         norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
-        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        kernel = (v * (g / jnp.maximum(norm, 1e-12))).astype(x.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         dh, dw = self.dilation
         pad = [((kh - 1) * dh // 2,) * 2, ((kw - 1) * dw // 2,) * 2]

@@ -77,7 +77,7 @@ class WNConv(nn.Module):
             (self.features,),
         )
         norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
-        kernel = v * (g / jnp.maximum(norm, 1e-12))
+        kernel = (v * (g / jnp.maximum(norm, 1e-12))).astype(x.dtype)
 
         pad = (
             [(self.padding, self.padding)]
@@ -128,7 +128,7 @@ class WNConvTranspose(nn.Module):
             (in_ch,),
         )
         norm = jnp.linalg.norm(jnp.transpose(v, (1, 0, 2)).reshape(in_ch, -1), axis=1)
-        kernel = v * (g / jnp.maximum(norm, 1e-12))[None, :, None]
+        kernel = (v * (g / jnp.maximum(norm, 1e-12))[None, :, None]).astype(x.dtype)
 
         # torch ConvTranspose1d is the conv adjoint (kernel spatially
         # flipped relative to jax's fractionally-strided correlation).

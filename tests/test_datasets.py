@@ -139,3 +139,26 @@ def test_pad_crop_timestamps():
     assert chunk.shape == (1, 1000)
     assert pm[:500].all() and not pm[500:].any()
     assert st == 5
+
+
+def test_create_dataloader_from_config(tmp_path):
+    from audio_intelligence_tpu.data.etta_dataset import create_dataloader_from_config
+
+    paths = _mk_wavs(tmp_path, n=4, seconds=0.5, sr=8000)
+    import json
+    nd = tmp_path / "train.ndjson"
+    with open(nd, "w") as f:
+        for p in paths:
+            f.write(json.dumps({"location": p, "caption": "x"}) + "\n")
+    cfg = {
+        "dataset_type": "location_caption_pair_manifests",
+        "datasets": [{"manifest_path": str(nd)}],
+        "valid_datasets": [{"manifest_path": str(nd)}],
+    }
+    train_iter, train_ds, valid = create_dataloader_from_config(
+        cfg, sample_size=2000, sample_rate=8000, audio_channels=1, batch_size=2
+    )
+    assert len(train_ds) == 4 and len(valid) == 1
+    audio, meta = next(train_iter())
+    assert audio.shape == (2, 1, 2000)
+    assert len(meta["prompt"]) == 2
