@@ -49,7 +49,7 @@ def sample_k_euler(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.Ar
     def step(x, ss):
         s, s_next = ss
         d = (x - denoise(x, jnp.broadcast_to(s, (x.shape[0],)))) / s
-        return x + d * (s_next - s), None
+        return (x + d * (s_next - s)).astype(x.dtype), None
 
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], -1)
     x, _ = jax.lax.scan(step, x, pairs)
@@ -67,7 +67,7 @@ def sample_k_heun(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.Arr
             d2 = (x_e - denoise(x_e, b(s_next))) / s_next
             return x + 0.5 * (d + d2) * (s_next - s)
 
-        return jax.lax.cond(s_next > 0, heun, lambda _: x_e, None), None
+        return jax.lax.cond(s_next > 0, heun, lambda _: x_e, None).astype(x.dtype), None
 
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], -1)
     x, _ = jax.lax.scan(step, x, pairs)
@@ -101,7 +101,7 @@ def sample_dpmpp_2m(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.A
         x_next = jax.lax.cond(
             has_prev & (s_next > 0), multistep, first_or_last, None
         )
-        return (x_next, den, s), None
+        return (x_next.astype(x.dtype), den.astype(x.dtype), s), None
 
     pairs = jnp.stack([sigmas[:-1], sigmas[1:]], -1)
     (x, _, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x), jnp.zeros(())), pairs)

@@ -43,7 +43,7 @@ def sample_discrete_euler(
     def step(x, tt):
         t_curr, t_prev = tt
         v = model_fn(x, jnp.broadcast_to(t_curr, (x.shape[0],)))
-        x = x + (t_prev - t_curr) * v
+        x = (x + (t_prev - t_curr) * v).astype(x.dtype)
         return x, None
 
     pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
@@ -73,7 +73,7 @@ def sample_discrete_heun(
             return x + dt * 0.5 * (v1 + v2)
 
         x_next = jax.lax.cond(t_prev > 0, heun, lambda _: x_euler, None)
-        return x_next, None
+        return x_next.astype(x.dtype), None
 
     pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
     x, _ = jax.lax.scan(step, x, pairs)
@@ -112,6 +112,7 @@ def sample_v_ddim(
 
     def step(carry, tt):
         x, key = carry
+        in_dtype = x.dtype
         t_curr, t_next = tt
         alpha, sigma = alpha_sigma(t_curr)
         v = model_fn(x, jnp.broadcast_to(t_curr, (x.shape[0],)))
@@ -134,7 +135,7 @@ def sample_v_ddim(
             )
         else:
             x = pred_x0 * alpha_n + eps * sigma_n
-        return (x, key), None
+        return (x.astype(in_dtype), key), None
 
     pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
     (x, _), _ = jax.lax.scan(step, (x, key), pairs)
@@ -165,6 +166,7 @@ def sample_discrete_euler_inpaint(
 
     def step(carry, tt):
         x, key = carry
+        in_dtype = x.dtype
         t_curr, t_prev, i = tt[0], tt[1], tt[2]
         key, sub = jax.random.split(key)
         strength = (i + 1.0) / steps
@@ -172,7 +174,7 @@ def sample_discrete_euler_inpaint(
         noised = init_latent + jax.random.normal(sub, x.shape, x.dtype) * t_curr
         x = bmask * x + (1.0 - bmask) * noised
         v = model_fn(x, jnp.broadcast_to(t_curr, (x.shape[0],)))
-        x = x + (t_prev - t_curr) * v
+        x = (x + (t_prev - t_curr) * v).astype(in_dtype)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(step, (x, key), pairs)
