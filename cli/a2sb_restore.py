@@ -51,6 +51,9 @@ def main(argv=None):
     p.add_argument("-o", "--output_audio", required=True)
     p.add_argument("--task", choices=["upsample", "inpaint"], default="upsample")
     p.add_argument("--checkpoint", default=None, help="exported params (msgpack); random init if absent")
+    p.add_argument("--checkpoints", nargs="*", default=None,
+                   help="time-partitioned expert checkpoints (with --t_cutoffs)")
+    p.add_argument("--t_cutoffs", nargs="*", type=float, default=[0.5])
     p.add_argument("--n_steps", type=int, default=50)
     p.add_argument("--cutoff_freq", type=float, default=None, help="BWE cutoff; auto-detected when omitted")
     p.add_argument("--inpaint_start", type=float, default=None)
@@ -69,7 +72,7 @@ def main(argv=None):
     from audio_intelligence_tpu import ops
     from audio_intelligence_tpu.data.audio_io import read_wav, write_wav
     from audio_intelligence_tpu.models.a2sb.bridge import BridgeSchedule
-    from audio_intelligence_tpu.models.a2sb.sampler import bridge_sample
+    from audio_intelligence_tpu.models.a2sb.sampler import bridge_sample, select_expert_vf
     from audio_intelligence_tpu.models.a2sb.unet import (
         AttnUNetF,
         sinusoidal_temporal_embedding,
@@ -125,18 +128,33 @@ def main(argv=None):
     x_ex = jnp.zeros((1, h, args.win_length, 3))
     t_emb0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
     params = model.init(jax.random.PRNGKey(0), x_ex, t_emb0)
-    if args.checkpoint:
-        from audio_intelligence_tpu.train.checkpoint import load_exported_weights
-
-        params = load_exported_weights(params, args.checkpoint)
-    else:
-        print("WARNING: no --checkpoint given; using random weights (smoke mode)")
 
     sched = BridgeSchedule(beta_max=1.0)
 
-    def vf(x_t, t):
-        te = sinusoidal_temporal_embedding(jnp.broadcast_to(t, (x_t.shape[0],)), 128)
-        return model.apply(params, x_t, te)
+    def make_vf(p):
+        def vf(x_t, t):
+            te = sinusoidal_temporal_embedding(
+                jnp.broadcast_to(t, (x_t.shape[0],)), 128
+            )
+            return model.apply(p, x_t, te)
+
+        return vf
+
+    if args.checkpoints:
+        # time-partitioned expert ensemble (ensembled_inference parity)
+        from audio_intelligence_tpu.train.checkpoint import load_exported_weights
+
+        assert len(args.checkpoints) == len(args.t_cutoffs) + 1
+        expert_params = [load_exported_weights(params, c) for c in args.checkpoints]
+        vf = select_expert_vf([make_vf(p) for p in expert_params], args.t_cutoffs)
+    else:
+        if args.checkpoint:
+            from audio_intelligence_tpu.train.checkpoint import load_exported_weights
+
+            params = load_exported_weights(params, args.checkpoint)
+        else:
+            print("WARNING: no --checkpoint given; using random weights (smoke mode)")
+        vf = make_vf(params)
 
     @jax.jit
     def restore(key, x1, mask):
