@@ -145,6 +145,164 @@ def tokenize_for_lut(texts, max_length: int = 128):
     return ids, mask
 
 
+# ARPAbet phoneme inventory (CMUdict): 39 phones, vowels carry stress 0/1/2.
+# Fixed here so PhonemeConditioner's embedding table has a stable shape
+# whether or not g2p_en is installed (it is not in this image).
+_ARPABET_VOWELS = ("AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
+                   "IH", "IY", "OW", "OY", "UH", "UW")
+_ARPABET_CONSONANTS = ("B", "CH", "D", "DH", "F", "G", "HH", "JH", "K", "L",
+                       "M", "N", "NG", "P", "R", "S", "SH", "T", "TH", "V",
+                       "W", "Y", "Z", "ZH")
+ARPABET_PHONEMES = tuple(
+    v + s for v in _ARPABET_VOWELS for s in ("0", "1", "2")
+) + _ARPABET_CONSONANTS + ("_",)  # "_" = ignored/space slot
+_PHONEME_TO_ID = {p: i + 2 for i, p in enumerate(ARPABET_PHONEMES)}  # 0 pad, 1 unk
+
+
+def _naive_g2p(text: str) -> list[str]:
+    """Rule-based English grapheme→phoneme fallback (g2p_en is not in the
+    image). Digraph-first greedy mapping — NOT linguistically faithful, but
+    deterministic, covers the full ARPAbet inventory, and keeps the
+    conditioner trainable/testable offline. Swap in g2p_en for parity."""
+    digraphs = {
+        "ch": "CH", "sh": "SH", "th": "TH", "ph": "F", "wh": "W",
+        "ng": "NG", "ck": "K", "qu": "K", "ee": "IY1", "oo": "UW1",
+        "ou": "AW1", "ai": "EY1", "ay": "EY1", "oa": "OW1", "oy": "OY1",
+        "er": "ER0", "ar": "AA1", "or": "AO1",
+    }
+    singles = {
+        "a": "AE1", "b": "B", "c": "K", "d": "D", "e": "EH1", "f": "F",
+        "g": "G", "h": "HH", "i": "IH1", "j": "JH", "k": "K", "l": "L",
+        "m": "M", "n": "N", "o": "AA1", "p": "P", "q": "K", "r": "R",
+        "s": "S", "t": "T", "u": "AH1", "v": "V", "w": "W", "x": "K",
+        "y": "Y", "z": "Z",
+    }
+    out = []
+    t = text.lower()
+    i = 0
+    while i < len(t):
+        pair = t[i : i + 2]
+        if pair in digraphs:
+            out.append(digraphs[pair])
+            i += 2
+        elif t[i] in singles:
+            out.append(singles[t[i]])
+            i += 1
+        else:
+            if not out or out[-1] != "_":
+                out.append("_")
+            i += 1
+    return out
+
+
+def phonemize_host(
+    texts: Sequence[str], max_length: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side text → phoneme-id arrays for PhonemeConditioner
+    (conditioners.py PhonemeConditioner:328-382 semantics: punctuation and
+    spaces collapse to "_", unknown phones → 1, pad → 0). Uses g2p_en when
+    importable, else the naive rule fallback."""
+    import string as _string
+
+    try:
+        from g2p_en import G2p  # not in this image; gated
+
+        g2p = G2p()
+        ignore = set(" " + _string.punctuation)
+        seqs = [
+            ["_" if p in ignore else p for p in g2p(t)] for t in texts
+        ]
+    except Exception:
+        seqs = [_naive_g2p(t) for t in texts]
+    ids = np.zeros((len(texts), max_length), np.int32)
+    mask = np.zeros((len(texts), max_length), bool)
+    for i, seq in enumerate(seqs):
+        seq = seq[:max_length]
+        ids[i, : len(seq)] = [_PHONEME_TO_ID.get(p, 1) for p in seq]
+        mask[i, : len(seq)] = True
+    return ids, mask
+
+
+class PhonemeConditioner(nn.Module):
+    """Learned phoneme-embedding conditioner (conditioners.py:328-382):
+    phoneme ids (from ``phonemize_host``) → LUT embedding (+2 slots for
+    pad/unk) → optional projection."""
+
+    output_dim: int
+    project_out: bool = False
+
+    @nn.compact
+    def __call__(self, phoneme_ids, mask):
+        emb = nn.Embed(
+            len(ARPABET_PHONEMES) + 2, self.output_dim, name="phoneme_embedder"
+        )(phoneme_ids)
+        if self.project_out:
+            emb = nn.Dense(self.output_dim, name="proj_out")(emb)
+        return emb, mask
+
+
+def clap_text_embed_host(
+    texts: Sequence[str],
+    clap_ckpt_path: str | None = None,
+    dim: int = 512,
+) -> np.ndarray:
+    """CLAP text embedding, host-side (conditioners.py CLAPTextConditioner
+    :96-177: frozen laion_clap tower → one global [B, 512] vector).
+
+    laion_clap + its checkpoint are not in this image, so without them this
+    degrades to a deterministic hash embedding pooled to one vector —
+    keeping prompt-conditional pipelines runnable offline (same contract:
+    unit-scale [B, dim])."""
+    if clap_ckpt_path is not None:
+        try:
+            import laion_clap  # gated: not in image
+
+            model = laion_clap.CLAP_Module(enable_fusion=False)
+            model.load_ckpt(clap_ckpt_path)
+            return model.get_text_embedding(list(texts), use_tensor=False)
+        except ImportError:
+            pass
+    emb, mask = hash_text_embedding(texts, dim=dim)
+    pooled = emb.sum(axis=1) / np.maximum(mask.sum(axis=1, keepdims=True), 1)
+    return (pooled / np.maximum(np.linalg.norm(pooled, axis=-1, keepdims=True), 1e-8)).astype(np.float32)
+
+
+def clap_audio_embed_host(
+    audio: np.ndarray,
+    sample_rate: int,
+    clap_ckpt_path: str | None = None,
+    dim: int = 512,
+) -> np.ndarray:
+    """CLAP audio embedding (conditioners.py CLAPAudioConditioner:179-239).
+    audio: [B, T] mono float32. Without laion_clap, falls back to a
+    deterministic log-mel statistics embedding (mean‖std of 64 mel bands,
+    projected to ``dim`` by a fixed seeded projection) — offline stand-in
+    with the same [B, dim] unit-norm contract."""
+    if clap_ckpt_path is not None:
+        try:
+            import laion_clap  # gated: not in image
+
+            model = laion_clap.CLAP_Module(enable_fusion=False)
+            model.load_ckpt(clap_ckpt_path)
+            return model.get_audio_embedding_from_data(audio, use_tensor=False)
+        except ImportError:
+            pass
+    from audio_intelligence_tpu.ops.mel import mel_filterbank
+    from audio_intelligence_tpu.ops.stft import stft
+
+    spec = np.abs(np.asarray(jax.jit(
+        lambda x: stft(x, n_fft=1024, hop_length=512)
+    )(jnp.asarray(audio, jnp.float32))))
+    fb = np.asarray(mel_filterbank(513, n_mels=64, sample_rate=sample_rate))
+    mel = np.log(np.einsum("fm,bft->bmt", fb, spec) + 1e-5)
+    stats = np.concatenate([mel.mean(-1), mel.std(-1)], axis=-1)  # [B, 128]
+    proj = np.random.default_rng(0xC1A9).standard_normal(
+        (stats.shape[-1], dim)
+    ).astype(np.float32) / np.sqrt(stats.shape[-1])
+    out = stats.astype(np.float32) @ proj
+    return out / np.maximum(np.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+
+
 class MultiConditioner(nn.Module):
     """Applies per-id conditioners to a metadata batch
     (conditioners.py:472-513).

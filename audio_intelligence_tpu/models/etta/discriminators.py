@@ -189,6 +189,128 @@ class OobleckDiscriminator(nn.Module):
         return logits, features
 
 
+# ---------------------------------------------------------------------------
+# DAC critics (reference discriminators.py:306-556, Descript Audio Codec):
+# multi-period waveform critics + multi-band complex-STFT critics with
+# least-squares GAN losses. TPU-native notes: period folding is a reshape to
+# [B, T/p, p, C] (NHWC) so each period critic is one dense conv2d; the STFT
+# band split is static slicing so XLA sees fixed shapes per band.
+# ---------------------------------------------------------------------------
+
+
+class MPD(nn.Module):
+    """Multi-period critic (discriminators.py:308-345): fold time by
+    ``period``, then a (5,1)-kernel stride-(3,1) weight-norm conv tower."""
+
+    period: int
+
+    @nn.compact
+    def __call__(self, x):
+        """x: waveform [B, T, C] → feature-map list (last = logits)."""
+        b, t, c = x.shape
+        pad = (self.period - t % self.period) % self.period
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+        h = x.reshape(b, (t + pad) // self.period, self.period, c)  # [B,L,p,C]
+        fmap = []
+        for i, ch in enumerate((32, 128, 512, 1024)):
+            h = WNConv2d(ch, (5, 1), strides=(3, 1), name=f"conv{i}")(h)
+            h = jax.nn.leaky_relu(h, 0.1)
+            fmap.append(h)
+        h = WNConv2d(1024, (5, 1), name="conv4")(h)
+        h = jax.nn.leaky_relu(h, 0.1)
+        fmap.append(h)
+        h = WNConv2d(1, (3, 1), name="conv_post")(h)
+        fmap.append(h)
+        return fmap
+
+
+DAC_BANDS = ((0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0))
+
+
+class MRD(nn.Module):
+    """Multi-band complex-spectrogram critic (discriminators.py:403-458):
+    per-band (3,9) weight-norm conv stacks over [T, F_band, (re,im)] maps,
+    concatenated along frequency for the final logits conv."""
+
+    window_length: int
+    hop_factor: float = 0.25
+    bands: tuple = DAC_BANDS
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        spec = stft(
+            jnp.moveaxis(x, -1, 1).reshape(b * c, t),
+            n_fft=self.window_length,
+            hop_length=int(self.window_length * self.hop_factor),
+            win_length=self.window_length,
+        )  # [B*C, F, frames]
+        z = jnp.stack([spec.real, spec.imag], axis=-1)  # [B*C, F, T, 2]
+        z = jnp.transpose(z, (0, 2, 1, 3))  # [B*C, T, F, 2] (NHWC)
+        n_fft_bins = self.window_length // 2 + 1
+        fmap, band_outs = [], []
+        for bi, (lo, hi) in enumerate(self.bands):
+            h = z[:, :, int(lo * n_fft_bins) : int(hi * n_fft_bins), :]
+            h = WNConv2d(32, (3, 9), name=f"band{bi}_conv0")(h)
+            fmap.append(h)
+            for li in range(1, 4):
+                h = jax.nn.leaky_relu(h, 0.1)
+                h = WNConv2d(32, (3, 9), strides=(1, 2), name=f"band{bi}_conv{li}")(h)
+                fmap.append(h)
+            h = jax.nn.leaky_relu(h, 0.1)
+            h = WNConv2d(32, (3, 3), name=f"band{bi}_conv4")(h)
+            fmap.append(h)
+            band_outs.append(h)
+        h = jnp.concatenate(band_outs, axis=2)
+        h = WNConv2d(1, (3, 3), name="conv_post")(jax.nn.leaky_relu(h, 0.1))
+        fmap.append(h)
+        return fmap
+
+
+class DACDiscriminator(nn.Module):
+    """MPD×periods + MRD×fft_sizes ensemble (discriminators.py:461-506).
+
+    MSD rates default to () like the reference. Input is DC-removed and
+    peak-normalized to 0.8 before every critic (preprocess:495-500).
+    """
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    fft_sizes: Sequence[int] = (2048, 1024, 512)
+    bands: tuple = DAC_BANDS
+
+    @nn.compact
+    def __call__(self, x):
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+        peak = jnp.max(jnp.abs(x), axis=(1, 2), keepdims=True)
+        x = 0.8 * x / (peak + 1e-9)
+        fmaps = [MPD(p, name=f"mpd_{p}")(x) for p in self.periods]
+        fmaps += [
+            MRD(f, bands=self.bands, name=f"mrd_{f}")(x) for f in self.fft_sizes
+        ]
+        return fmaps
+
+
+def dac_gan_losses(fmaps_real, fmaps_fake):
+    """Least-squares GAN losses (DACGANLoss, discriminators.py:508-556):
+    dis = Σ mean((1−D(x))²) + mean(D(x̂)²); gen = Σ mean((1−D(x̂))²);
+    fm = Σ_{layers<last} L1(f_real, f_fake). Sum-reduced like the reference
+    (weight magnitudes differ from the EnCodec-tuned stack by design).
+
+    The reference detaches the *fake waveform* for the dis term; here the
+    alternating train step differentiates wrt only one param subset at a
+    time (training.py make_vae_train_steps), so no stop_gradient is needed
+    inside the loss."""
+    dis = 0.0
+    gen = 0.0
+    fm = 0.0
+    for fr, ff in zip(fmaps_real, fmaps_fake):
+        dis += jnp.mean((1.0 - fr[-1]) ** 2) + jnp.mean(ff[-1] ** 2)
+        gen += jnp.mean((1.0 - ff[-1]) ** 2)
+        for a, b in zip(fr[:-1], ff[:-1]):
+            fm += jnp.mean(jnp.abs(a - b))
+    return dis, gen, fm
+
+
 def encodec_gan_losses(logits_true, feats_true, logits_fake, feats_fake):
     """Hinge + feature-matching losses (discriminators.py:16-59)."""
     dis_loss = 0.0

@@ -19,7 +19,11 @@ from audio_intelligence_tpu.models.etta.bottleneck import (
     WassersteinBottleneck,
 )
 from audio_intelligence_tpu.models.etta.dit import DiffusionTransformer
-from audio_intelligence_tpu.models.etta.discriminators import MultiScaleSTFTDiscriminator
+from audio_intelligence_tpu.models.etta.discriminators import (
+    DACDiscriminator,
+    MultiScaleSTFTDiscriminator,
+    OobleckDiscriminator,
+)
 from audio_intelligence_tpu.models.etta.vae import (
     AudioAutoencoder,
     OobleckDecoder,
@@ -98,16 +102,29 @@ def create_dit_from_config(diff_cfg: dict) -> DiffusionTransformer:
 
 
 def create_discriminator_from_config(loss_cfg: dict, io_channels: int = 2):
+    """Critic dispatch (reference training/autoencoders.py loss_config
+    "discriminator.type": encodec | oobleck | dac). The returned module's
+    gan flavor: encodec/oobleck → hinge; dac → least-squares
+    (pass gan_type="dac" to make_vae_train_steps)."""
     disc = loss_cfg["discriminator"]
-    assert disc.get("type", "encodec") == "encodec", "oobleck/dac critics TBD"
+    dtype_ = disc.get("type", "encodec")
     c = disc.get("config", {})
-    return MultiScaleSTFTDiscriminator(
-        filters=c.get("filters", 64),
-        n_ffts=tuple(c.get("n_ffts", (2048, 1024, 512, 256, 128))),
-        hop_lengths=tuple(c.get("hop_lengths", (512, 256, 128, 64, 32))),
-        win_lengths=tuple(c.get("win_lengths", (2048, 1024, 512, 256, 128))),
-        in_channels=io_channels,
-    )
+    if dtype_ == "encodec":
+        return MultiScaleSTFTDiscriminator(
+            filters=c.get("filters", 64),
+            n_ffts=tuple(c.get("n_ffts", (2048, 1024, 512, 256, 128))),
+            hop_lengths=tuple(c.get("hop_lengths", (512, 256, 128, 64, 32))),
+            win_lengths=tuple(c.get("win_lengths", (2048, 1024, 512, 256, 128))),
+            in_channels=io_channels,
+        )
+    if dtype_ == "oobleck":
+        return OobleckDiscriminator(capacity=c.get("capacity", 32))
+    if dtype_ == "dac":
+        return DACDiscriminator(
+            periods=tuple(c.get("periods", (2, 3, 5, 7, 11))),
+            fft_sizes=tuple(c.get("fft_sizes", (2048, 1024, 512))),
+        )
+    raise ValueError(f"unknown discriminator type {dtype_!r}")
 
 
 def create_model_from_config(config: dict) -> dict[str, Any]:

@@ -29,7 +29,10 @@ from audio_intelligence_tpu.train.common import (
     logit_normal_sample,
     nan_safe_update,
 )
-from audio_intelligence_tpu.models.etta.discriminators import encodec_gan_losses
+from audio_intelligence_tpu.models.etta.discriminators import (
+    dac_gan_losses,
+    encodec_gan_losses,
+)
 from audio_intelligence_tpu.ops.losses import sum_and_difference_stft_loss, multi_resolution_stft_loss
 
 
@@ -179,11 +182,15 @@ def make_vae_train_steps(
     sample_rate: int = 44100,
     loss_weights: dict | None = None,
     stereo: bool = True,
+    gan_type: str = "hinge",
 ):
     """Build (gen_step, disc_step) jitted functions.
 
     ae_apply({'params': p}, x, rng) → (recon, info{kl});
-    disc_apply({'params': p}, x) → (logits list, features list).
+    disc_apply({'params': p}, x) → (logits list, features list) for
+    gan_type="hinge" (EnCodec/Oobleck critics), or a feature-map list
+    (last entry = logits) for gan_type="dac" (DACDiscriminator +
+    least-squares DACGANLoss, reference discriminators.py:508-556).
     Flagship weights: mrstft 1.0, adversarial 0.1, feature_matching 5.0,
     kl 1e-4 (etta_vae.json loss_configs).
     """
@@ -212,11 +219,18 @@ def make_vae_train_steps(
             x[..., 0], y[..., 0], perceptual_weighting=True, sample_rate=sample_rate
         )
 
-    def gen_loss_fn(gen_params, disc_params, key, reals):
-        recon, info = ae_apply({"params": gen_params}, reals, key)
+    def critic_losses(disc_params, reals, recon):
+        if gan_type == "dac":
+            fr = disc_apply({"params": disc_params}, reals)
+            ff = disc_apply({"params": disc_params}, recon)
+            return dac_gan_losses(fr, ff)
         lt, ft = disc_apply({"params": disc_params}, reals)
         lf, ff = disc_apply({"params": disc_params}, recon)
-        _, adv, fm = encodec_gan_losses(lt, ft, lf, ff)
+        return encodec_gan_losses(lt, ft, lf, ff)
+
+    def gen_loss_fn(gen_params, disc_params, key, reals):
+        recon, info = ae_apply({"params": gen_params}, reals, key)
+        _, adv, fm = critic_losses(disc_params, reals, recon)
         mrstft = spectral(recon, reals)
         kl = info.get("kl", 0.0)
         loss = (
@@ -236,9 +250,7 @@ def make_vae_train_steps(
     def disc_loss_fn(disc_params, gen_params, key, reals):
         recon, _ = ae_apply({"params": gen_params}, reals, key)
         recon = jax.lax.stop_gradient(recon)
-        lt, ft = disc_apply({"params": disc_params}, reals)
-        lf, ff = disc_apply({"params": disc_params}, recon)
-        dis, _, _ = encodec_gan_losses(lt, ft, lf, ff)
+        dis, _, _ = critic_losses(disc_params, reals, recon)
         return dis, {"loss_dis": dis}
 
     def gen_step(state: VAETrainState, key, reals):
