@@ -69,11 +69,15 @@ class GroupNorm32(nn.Module):
     """GroupNorm(32 groups) with fp32 statistics (GroupNorm32 semantics,
     A2SB/networks.py:25-27).
 
-    TPU note: statistics are accumulated in fp32 (the convert fuses into
-    the reduction) but the normalize/affine elementwise stays in the input
-    dtype — under bf16 this halves the HBM traffic of a full-fp32
-    GroupNorm without changing the stats precision that motivated the
-    reference's fp32 cast."""
+    TPU note: statistics are accumulated in fp32 (the converts fuse into
+    the reductions), then the whole normalize+affine folds into ONE
+    input-dtype multiply-add ``x·eff_scale + eff_bias`` with per-(batch,
+    group/channel) coefficients. A naive ``(x.astype(f32)−mean)·inv``
+    makes XLA materialize full fp32 copies of the feature map in HBM
+    (profiled at ~60 % of the A2SB UNet step, PERF.md); the folded form
+    keeps every full-size tensor in the input dtype. Variance uses the
+    one-pass E[x²]−E[x]² form — fp32 accumulation keeps the cancellation
+    error far below bf16 resolution."""
 
     num_groups: int = 32
 
@@ -82,19 +86,25 @@ class GroupNorm32(nn.Module):
         dtype = x.dtype
         c = x.shape[-1]
         groups = min(self.num_groups, c)
+        cg = c // groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        gshape = x.shape[:-1] + (groups, c // groups)
+        gshape = x.shape[:-1] + (groups, cg)
         xg = x.reshape(gshape).astype(jnp.float32)
         axes = tuple(range(1, len(gshape) - 2)) + (len(gshape) - 1,)
         mean = jnp.mean(xg, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(xg), axis=axes, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
-        # full-fp32 normalize+affine like the reference (measured faster
-        # than a bf16 elementwise variant — XLA fuses the converts anyway)
-        y = ((xg - mean) * inv).reshape(x.shape)
-        return (y * scale + bias).astype(dtype)
+
+        ones = (1,) * (len(gshape) - 3)
+        scale_g = scale.reshape(*ones, 1, groups, cg).astype(jnp.float32)
+        bias_g = bias.reshape(*ones, 1, groups, cg).astype(jnp.float32)
+        eff_scale = (inv * scale_g).astype(dtype)  # [B, 1…, groups, cg]
+        eff_bias = (bias_g - mean * inv * scale_g).astype(dtype)
+        y = x.reshape(gshape) * eff_scale + eff_bias
+        return y.reshape(x.shape)
 
 
 class ScaleShiftEmbed(nn.Module):
@@ -243,13 +253,17 @@ class AttnUNetF(nn.Module):
     rotary_dim: int = 32
     use_flash: bool = False
 
-    def _level_band_emb(self, n_bands):
+    def _level_band_emb(self, n_bands, dtype):
         if self.band_embedding_dim == 0:
             return None
-        return band_embedding(n_bands, self.band_embedding_dim)
+        # cast to the compute dtype: the fp32 table would otherwise promote
+        # the scale/shift — and through it every ResBlock feature map — to
+        # fp32, doubling HBM traffic (profiled, PERF.md)
+        return band_embedding(n_bands, self.band_embedding_dim).astype(dtype)
 
     @nn.compact
     def __call__(self, x, t_emb, deterministic: bool = True):
+        t_emb = t_emb.astype(x.dtype)
         hc = list(self.hidden_channels)
         if isinstance(self.hidden_channels, int):
             hc = [self.hidden_channels] * (self.n_updown_levels + 1)
@@ -258,7 +272,7 @@ class AttnUNetF(nn.Module):
         dec_attn = {n - 1 - a for a in attn}
 
         def block_stack(h, ch, use_attn, name):
-            band = self._level_band_emb(h.shape[1])
+            band = self._level_band_emb(h.shape[1], h.dtype)
             for i in range(self.num_res_blocks):
                 h = ResBlock(
                     ch, self.band_embedding_dim, self.p_dropout, name=f"{name}_res{i}"
@@ -284,7 +298,7 @@ class AttnUNetF(nn.Module):
             skips.append(h)
 
         # middle: res → attn → res at the deepest resolution
-        band = self._level_band_emb(h.shape[1])
+        band = self._level_band_emb(h.shape[1], h.dtype)
         h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout, name="mid_res0")(
             h, t_emb, band, deterministic
         )

@@ -36,10 +36,34 @@ class TrainLoopConfig:
 
 
 class MetricLogger:
-    """Minimal metrics sink (stdout + in-memory history); wandb/TB attach here."""
+    """Metrics sink: stdout + in-memory history, with optional wandb and
+    TensorBoard backends (the reference logs through pytorch-lightning's
+    WandbLogger / DeepSpeed's TB writer; here both are opt-in adapters).
 
-    def __init__(self):
+    wandb is not in this image — ``use_wandb=True`` degrades to a warning
+    unless the package is importable. ``tb_dir`` writes TensorBoard scalar
+    event files via the same minimal writer train/demo.py uses.
+    """
+
+    def __init__(self, use_wandb: bool = False, wandb_kwargs: dict | None = None,
+                 tb_dir: str | None = None):
         self.history: list[dict] = []
+        self._wandb = None
+        self._tb = None
+        if use_wandb:
+            try:
+                import wandb  # gated: not in this image
+
+                self._wandb = wandb.init(**(wandb_kwargs or {}))
+            except ImportError:
+                print("MetricLogger: wandb not installed; stdout only")
+        if tb_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tb_dir)
+            except ImportError:
+                print("MetricLogger: tensorboard not installed; stdout only")
 
     def log(self, step: int, metrics: dict):
         record = {"step": step}
@@ -49,6 +73,19 @@ class MetricLogger:
         self.history.append(record)
         parts = " ".join(f"{k}={v:.4g}" for k, v in record.items() if k != "step")
         print(f"[step {step}] {parts}", flush=True)
+        if self._wandb is not None:
+            self._wandb.log(record, step=step)
+        if self._tb is not None:
+            for k, v in record.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+    def close(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
 
 
 def run_training(
