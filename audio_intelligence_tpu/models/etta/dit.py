@@ -89,6 +89,22 @@ def apply_neox_rope(x: jax.Array, base: float) -> jax.Array:
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
 
+def alibi_bias(
+    n_heads: int, t: int, symmetric: bool = True
+) -> jax.Array:
+    """ALiBi attention bias [1, H, T, T] (etta_transformer.py:16-33):
+    slope_h = (2^8)^(-(h+1)/H); bias = slope · rel_pos with
+    rel_pos = −|i−j| (symmetric) or (j−i) (asymmetric)."""
+    x = jnp.arange(t)[None, :]
+    y = jnp.arange(t)[:, None]
+    rel = x - y
+    if symmetric:
+        rel = -jnp.abs(rel)
+    base = (2.0**8) ** (1.0 / n_heads)
+    slopes = 1.0 / base ** (jnp.arange(1, n_heads + 1, dtype=jnp.float32))
+    return (slopes[:, None, None] * rel.astype(jnp.float32))[None]
+
+
 def _attend(q, k, v, bias=None):
     """[B, H, Tq, D] × [B, H, Tk, D] fused attention, fp32 softmax;
     bf16 operands stay on the MXU with fp32 accumulation."""
@@ -116,6 +132,7 @@ class SelfAttention(nn.Module):
     use_rope: bool = True
     qknorm: Optional[str] = None
     use_flash: bool = False
+    pos_emb_name: str = "rope"  # rope | alibi | alibi-asymmetric | ''
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -130,17 +147,27 @@ class SelfAttention(nn.Module):
         elif self.qknorm == "l2":
             q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
             k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
-        if self.use_rope:
+        use_alibi = self.pos_emb_name.startswith("alibi")
+        if self.use_rope and self.pos_emb_name == "rope":
             q = apply_neox_rope(q, self.rope_base)
             k = apply_neox_rope(k, self.rope_base)
-        if self.use_flash and t % 128 == 0 and d_head % 64 == 0:
+        if (
+            self.use_flash and not use_alibi
+            and t % 128 == 0 and d_head % 64 == 0
+        ):
             from audio_intelligence_tpu.ops.pallas_attention import flash_attention
 
             out = flash_attention(q, k, v, kv_mask=mask, block_q=128, block_k=128)
         else:
             bias = None
+            if use_alibi:  # etta_transformer.py:457-466 naive alibi path
+                bias = alibi_bias(
+                    self.n_heads, t,
+                    symmetric=self.pos_emb_name == "alibi",
+                )
             if mask is not None:  # mask [B, T] True = valid
-                bias = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+                mbias = jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+                bias = mbias if bias is None else bias + mbias
             out = _attend(q, k, v, bias)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, t, c)
         return nn.Dense(c, use_bias=False, name="o_net")(out)
