@@ -33,6 +33,55 @@ from audio_intelligence_tpu.ops.mel import log_mel_whisper
 from audio_intelligence_tpu.ops.resample import resample
 
 
+class KmeansQuantizer:
+    """Nearest-centroid SSL token quantizer (audio.py KmeansModel:28-66):
+    ids = argmin ‖x − C‖² computed as x² − 2xC + C² on device. Centroids
+    load from .npy/.npz ([K, D]) or, gated, a joblib sklearn KMeans."""
+
+    def __init__(self, centroids):
+        c = jnp.asarray(centroids, jnp.float32)  # [K, D]
+        self._ct = c.T  # [D, K]
+        self._cnorm = jnp.sum(c * c, axis=-1)[None, None, :]  # [1, 1, K]
+        self.n_clusters = c.shape[0]
+
+    @classmethod
+    def from_file(cls, km_path: str) -> "KmeansQuantizer":
+        if km_path.endswith((".npy", ".npz")):
+            arr = np.load(km_path)
+            if hasattr(arr, "files"):
+                arr = arr[arr.files[0]]
+            return cls(arr)
+        import joblib  # gated: sklearn pickles (reference km_path format)
+
+        return cls(joblib.load(km_path).cluster_centers_)
+
+    def __call__(self, feats: jax.Array) -> jax.Array:
+        """[B, T, D] → [B, T] cluster ids."""
+        dist = (
+            jnp.sum(feats * feats, -1, keepdims=True)
+            - 2.0 * (feats @ self._ct.astype(feats.dtype))
+            + self._cnorm
+        )
+        return jnp.argmin(dist, axis=-1)
+
+
+def mel_ssl_features(wav: jax.Array, frame_shift: int, n_mels: int = 80):
+    """Offline stand-in for the XEUS SSL encoder (espnet2 is not in this
+    image): log-mel features at the codec frame rate. Same contract as the
+    gated XEUS path ([B, frames, D] aligned to codec frames)."""
+    from audio_intelligence_tpu.ops.mel import mel_filterbank
+    from audio_intelligence_tpu.ops.stft import stft
+
+    b, t = wav.shape
+    n_fft = max(512, 2 * frame_shift)
+    spec = jnp.abs(
+        stft(wav.reshape(b, t), n_fft=n_fft, hop_length=frame_shift)
+    )  # [B, F, frames+1]
+    fb = mel_filterbank(n_fft // 2 + 1, n_mels=n_mels, sample_rate=16000)
+    mel = jnp.log(jnp.einsum("fm,bft->btm", fb.astype(spec.dtype), spec) + 1e-5)
+    return mel[:, : t // frame_shift]
+
+
 class DiscreteAudioIO(AbsIO):
     modality = "audio"
     is_discrete = True
@@ -47,20 +96,41 @@ class DiscreteAudioIO(AbsIO):
         frame_shift: int = 320,
         stream_weights: Optional[List[float]] = None,
         use_delay_interleave: bool = True,
+        ssl_quantizer: "KmeansQuantizer | None" = None,
+        ssl_feature_fn=None,
     ):
+        """ssl_quantizer + ssl_feature_fn enable the SSL branch
+        (audio.py:257-296): one extra token stream, quantized SSL features
+        concatenated BEFORE the codec streams at the same frame rate
+        (fps-match sanity check, audio.py:301). ssl_feature_fn defaults to
+        ``mel_ssl_features`` when only a quantizer is given; the XEUS tower
+        itself is gated (espnet2 not in image)."""
         self.codec = codec
         self.codec_variables = codec_variables
-        self.n_streams = n_streams
+        self.n_codec_streams = n_streams
         self.codebook_size = codebook_size
         self.sample_rate = sample_rate
         self.frame_shift = frame_shift
         self.delay_interleave = use_delay_interleave
-        self.stream_weights = stream_weights or [1.0 / n_streams] * n_streams
+        self.ssl_quantizer = ssl_quantizer
+        if ssl_quantizer is not None and ssl_feature_fn is None:
+            ssl_feature_fn = lambda w: mel_ssl_features(w, frame_shift)
+        self.ssl_feature_fn = ssl_feature_fn
+        self.n_ssl_streams = 1 if ssl_quantizer is not None else 0
+        self.n_streams = self.n_ssl_streams + n_streams
+        self.stream_weights = stream_weights or [1.0 / self.n_streams] * self.n_streams
 
-        # per-stream vocab: leading pad + codebook entries (audio.py:375-414)
+        # per-stream vocab: leading pad + entries; SSL streams first
+        # (audio.py:416-492 SSL‖codec concat order)
         self._stream_intervals = []
         offset = 0
         self.vocabulary: List[str] = []
+        if self.n_ssl_streams:
+            k = ssl_quantizer.n_clusters
+            self._stream_intervals.append((offset, offset + k + 1))
+            offset += k + 1
+            self.vocabulary.append("<ssl_pad>")
+            self.vocabulary.extend(f"<ssl_{i}>" for i in range(k))
         for s in range(n_streams):
             self._stream_intervals.append((offset, offset + codebook_size + 1))
             offset += codebook_size + 1
@@ -113,16 +183,22 @@ class DiscreteAudioIO(AbsIO):
 
     def copy_for_worker(self):
         """Worker copies skip device weights (audio.py:810-871)."""
-        return DiscreteAudioIO(
+        worker = DiscreteAudioIO(
             codec=None,
             codec_variables=None,
-            n_streams=self.n_streams,
+            n_streams=self.n_codec_streams,
             codebook_size=self.codebook_size,
             sample_rate=self.sample_rate,
             frame_shift=self.frame_shift,
             stream_weights=self.stream_weights,
             use_delay_interleave=self.delay_interleave,
         )
+        # preserve the SSL vocabulary layout without device weights
+        worker.n_ssl_streams = self.n_ssl_streams
+        worker.n_streams = self.n_streams
+        worker._stream_intervals = self._stream_intervals
+        worker.vocabulary = self.vocabulary
+        return worker
 
     # -- device side --
 
@@ -140,7 +216,11 @@ class DiscreteAudioIO(AbsIO):
         codes = self.codec.apply(
             self.codec_variables, wav[:, : max_frames * self.frame_shift],
             method=RVQCodec.encode,
-        )  # [B, frames, S]
+        )  # [B, frames, S_codec]
+        if self.n_ssl_streams:
+            feats = self.ssl_feature_fn(wav[:, : max_frames * self.frame_shift])
+            ssl_ids = self.ssl_quantizer(feats)[:, : codes.shape[1]]  # [B, frames]
+            codes = jnp.concatenate([ssl_ids[..., None], codes], axis=-1)
 
         # positions past each sample's length take the per-stream pad (idx 0
         # of each interval → after offset math, exactly offset_start)
@@ -172,6 +252,9 @@ class DiscreteAudioIO(AbsIO):
         local = codes - offsets[None, None, :] - 1
         # negative codes (pads / out of range) clamp to 0 (audio.py:577-581)
         local = np.clip(local, 0, self.codebook_size - 1)
+        # SSL streams carry no waveform information — codec decode uses the
+        # codec streams only (audio.py:494-543 strips them the same way)
+        local = local[..., self.n_ssl_streams :]
         wav = self.codec.apply(
             self.codec_variables, jnp.asarray(local), method=RVQCodec.decode
         )

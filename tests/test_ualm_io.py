@@ -115,3 +115,47 @@ def test_continuous_io():
     feats = io.encode_batch(jnp.asarray(mel)[None], jnp.asarray([mel.shape[0]]))
     assert feats.shape[0] == 1 and feats.shape[2] == cfg.d_model
     assert feats.shape[1] >= length
+
+
+def test_discrete_audio_io_ssl_branch():
+    """SSL kmeans stream concatenates before codec streams (audio.py:257-296)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_intelligence_tpu.models.ualm.audio_io import (
+        DiscreteAudioIO,
+        KmeansQuantizer,
+        mel_ssl_features,
+    )
+    from audio_intelligence_tpu.models.ualm.codec import RVQCodec
+
+    rng = np.random.default_rng(0)
+    km = KmeansQuantizer(rng.standard_normal((16, 80)).astype(np.float32))
+    codec = RVQCodec(
+        num_quantizers=2, codebook_size=8, latent_dim=8, channels=4,
+        c_mults=(2, 4), strides=(4, 5), sample_rate=16000,
+    )  # frame_shift = 4*5 = 20
+    wav = jnp.asarray(rng.standard_normal((2, 400)), jnp.float32)
+    cvars = codec.init(jax.random.PRNGKey(0), wav)  # full init (enc+dec)
+    io = DiscreteAudioIO(
+        codec=codec, codec_variables=cvars, n_streams=2, codebook_size=8,
+        frame_shift=20, ssl_quantizer=km, use_delay_interleave=False,
+    )
+    assert io.num_stream() == 3  # 1 SSL + 2 codec
+    ivs = io.get_stream_interval()
+    assert ivs[0] == (0, 17)  # ssl pad + 16 clusters
+    assert len(io.get_vocabulary()) == ivs[-1][1]
+    codes = io.encode_batch(wav[..., None], jnp.asarray([400, 200]))
+    assert codes.shape == (2, 20, 3)
+    # SSL ids live inside the SSL interval (or its pad at masked frames)
+    ssl = np.asarray(codes[..., 0])
+    assert ssl.min() >= 0 and ssl.max() < 17
+    # ids match direct quantization on valid frames (+offset(0)+1)
+    feats = mel_ssl_features(wav, 20)
+    direct = np.asarray(km(feats))
+    np.testing.assert_array_equal(ssl[0], direct[0, :20] + 1)
+    # decode ignores the SSL stream but still reconstructs
+    out, _, sr = io.decode_batch(codes)
+    assert out.shape[-1] == 400 and sr == 16000
+    # worker copy keeps the vocab layout
+    w = io.copy_for_worker()
+    assert w.num_stream() == 3 and w.get_stream_interval() == ivs
