@@ -85,26 +85,44 @@ class GroupNorm32(nn.Module):
     def __call__(self, x):
         dtype = x.dtype
         c = x.shape[-1]
+        b = x.shape[0]
         groups = min(self.num_groups, c)
         cg = c // groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        gshape = x.shape[:-1] + (groups, cg)
-        xg = x.reshape(gshape).astype(jnp.float32)
-        axes = tuple(range(1, len(gshape) - 2)) + (len(gshape) - 1,)
-        mean = jnp.mean(xg, axis=axes, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(xg), axis=axes, keepdims=True)
+        # Σx / Σx² per (batch, channel) as MXU dots against a ones column:
+        # XLA's VPU reduce fusions run ~5× off HBM speed-of-light on the
+        # conv-chosen {3,0,2,1} layouts; the dot formulation measures ~20 %
+        # faster end-to-end on the GN+conv chain (PERF.md).
+        n_rows = 1
+        for d in x.shape[1:-1]:
+            n_rows *= d
+        x2d = x.reshape(b, n_rows, c)
+        x32 = x2d.astype(jnp.float32)
+        ones_col = jnp.ones((n_rows, 1), jnp.float32)
+        sums = jnp.einsum(
+            "bnc,nk->bkc", x32, ones_col, preferred_element_type=jnp.float32
+        )[:, 0]
+        sums_sq = jnp.einsum(
+            "bnc,bnc,nk->bkc", x32, x32, ones_col,
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+        n = n_rows * cg
+        mean = sums.reshape(b, groups, cg).sum(-1) / n  # [B, groups]
+        mean_sq = sums_sq.reshape(b, groups, cg).sum(-1) / n
         var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + 1e-5)
 
-        ones = (1,) * (len(gshape) - 3)
-        scale_g = scale.reshape(*ones, 1, groups, cg).astype(jnp.float32)
-        bias_g = bias.reshape(*ones, 1, groups, cg).astype(jnp.float32)
-        eff_scale = (inv * scale_g).astype(dtype)  # [B, 1…, groups, cg]
-        eff_bias = (bias_g - mean * inv * scale_g).astype(dtype)
-        y = x.reshape(gshape) * eff_scale + eff_bias
-        return y.reshape(x.shape)
+        inv_c = jnp.repeat(inv, cg, axis=-1)  # [B, C]
+        mean_c = jnp.repeat(mean, cg, axis=-1)
+        scale32 = scale.astype(jnp.float32)[None, :]
+        eff_scale = (inv_c * scale32).astype(dtype)
+        eff_bias = (
+            bias.astype(jnp.float32)[None, :] - mean_c * inv_c * scale32
+        ).astype(dtype)
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        return x * eff_scale.reshape(bshape) + eff_bias.reshape(bshape)
 
 
 class ScaleShiftEmbed(nn.Module):
