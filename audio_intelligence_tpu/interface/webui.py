@@ -37,6 +37,16 @@ textarea,input{{width:100%;margin:.3em 0}}</style></head>
 <label>seconds <input name="seconds" value="{seconds}"></label>
 <button>Generate</button>
 </form>
+<h2>Autoencoder roundtrip</h2>
+<form method="post" action="/autoencode">
+<label>server-side wav path <input name="path" value=""></label>
+<button>Roundtrip</button>
+</form>
+<h2>Mono → Stereo (diffusion prior)</h2>
+<form method="post" action="/stereoize">
+<label>server-side wav path <input name="path" value=""></label>
+<button>Stereoize</button>
+</form>
 {result}
 </body></html>
 """
@@ -46,8 +56,12 @@ class DemoServer:
     """Stdlib fallback server around a ``generate_fn(prompt, steps, cfg,
     seconds) -> (wav_bytes, mimetype)`` callback."""
 
-    def __init__(self, generate_fn: Callable, port: int = 7860):
+    def __init__(self, generate_fn: Callable, port: int = 7860,
+                 autoencode_fn: Optional[Callable] = None,
+                 stereoize_fn: Optional[Callable] = None):
         self.generate_fn = generate_fn
+        self.autoencode_fn = autoencode_fn
+        self.stereoize_fn = stereoize_fn
         self.port = port
         self._last_audio: Optional[bytes] = None
         outer = self
@@ -84,13 +98,30 @@ class DemoServer:
                 cfg = float(form.get("cfg", ["3.5"])[0])
                 seconds = float(form.get("seconds", ["10"])[0])
                 try:
-                    wav_bytes, _ = outer.generate_fn(prompt, steps, cfg, seconds)
-                    outer._last_audio = wav_bytes
-                    result = (
-                        f"<p>generated {len(wav_bytes)} bytes for "
-                        f"<b>{html.escape(prompt)}</b></p>"
-                        '<audio controls src="/audio.wav"></audio>'
-                    )
+                    if self.path == "/autoencode" and outer.autoencode_fn:
+                        path = form.get("path", [""])[0]
+                        wav_bytes, _ = outer.autoencode_fn(path)
+                        outer._last_audio = wav_bytes
+                        result = (
+                            f"<p>roundtripped {html.escape(path)}</p>"
+                            '<audio controls src="/audio.wav"></audio>'
+                        )
+                    elif self.path == "/stereoize" and outer.stereoize_fn:
+                        path = form.get("path", [""])[0]
+                        wav_bytes, _ = outer.stereoize_fn(path)
+                        outer._last_audio = wav_bytes
+                        result = (
+                            f"<p>stereoized {html.escape(path)}</p>"
+                            '<audio controls src="/audio.wav"></audio>'
+                        )
+                    else:
+                        wav_bytes, _ = outer.generate_fn(prompt, steps, cfg, seconds)
+                        outer._last_audio = wav_bytes
+                        result = (
+                            f"<p>generated {len(wav_bytes)} bytes for "
+                            f"<b>{html.escape(prompt)}</b></p>"
+                            '<audio controls src="/audio.wav"></audio>'
+                        )
                 except Exception as e:  # surface errors in the page
                     result = f"<pre>error: {html.escape(str(e))}</pre>"
                 self._send_html(
@@ -156,8 +187,81 @@ def make_etta_generate_fn(model_scale: str = "small"):
     return generate
 
 
-def create_ui(generate_fn: Callable, port: int = 7860):
-    """gradio when available, stdlib server otherwise (reference create_ui)."""
+def make_autoencoder_fn():
+    """VAE roundtrip callback (reference create_autoencoder_ui:681):
+    wav path → encode → decode → wav bytes. Random weights in smoke mode."""
+
+    def roundtrip(path: str):
+        import numpy as np
+        import jax, jax.numpy as jnp
+
+        from audio_intelligence_tpu.data.audio_io import read_wav
+        from audio_intelligence_tpu.models.etta.bottleneck import VAEBottleneck
+        from audio_intelligence_tpu.models.etta.vae import (
+            AudioAutoencoder,
+            OobleckDecoder,
+            OobleckEncoder,
+        )
+
+        audio, sr = read_wav(path)
+        x = audio.T[None, :, :2] if audio.shape[0] >= 2 else np.repeat(
+            audio.T[None], 2, -1
+        )
+        ratio = 16
+        t = (x.shape[1] // ratio) * ratio
+        x = jnp.asarray(x[:, :t])
+        ae = AudioAutoencoder(
+            encoder=OobleckEncoder(
+                in_channels=2, channels=16, latent_dim=16,
+                c_mults=(2, 4), strides=(4, 4),
+            ),
+            decoder=OobleckDecoder(
+                out_channels=2, channels=16, latent_dim=8,
+                c_mults=(2, 4), strides=(4, 4),
+            ),
+            bottleneck=VAEBottleneck(),
+            downsampling_ratio=ratio,
+        )
+        v = ae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+        recon, _ = ae.apply(v, x, jax.random.PRNGKey(1))
+        return wav_bytes(np.asarray(recon[0]).T, sr), "audio/wav"
+
+    return roundtrip
+
+
+def make_stereoize_fn():
+    """Mono→stereo prior callback (reference create_diffusion_prior_ui:730),
+    smoke mode: tiny random prior over a 4× wavelet pretransform."""
+
+    def run(path: str):
+        import numpy as np
+        import jax, jax.numpy as jnp
+
+        from audio_intelligence_tpu.data.audio_io import read_wav
+        from audio_intelligence_tpu.models.etta.diffusion_prior import stereoize
+        from audio_intelligence_tpu.models.etta.pretransforms import (
+            WaveletPretransform,
+        )
+
+        audio, sr = read_wav(path)
+        wt = WaveletPretransform(levels=2)
+        model_fn = lambda x, t, source: source - x  # smoke prior
+        out = stereoize(
+            model_fn, wt.encode, wt.decode,
+            jnp.asarray(audio[None]), in_sr=sr, sample_rate=sr,
+            min_input_length=wt.downsampling_ratio, steps=4,
+        )
+        return wav_bytes(np.asarray(out[0]), sr), "audio/wav"
+
+    return run
+
+
+def create_ui(generate_fn: Callable, port: int = 7860,
+              autoencode_fn: Optional[Callable] = None,
+              stereoize_fn: Optional[Callable] = None):
+    """gradio when available, stdlib server otherwise (reference create_ui
+    tab structure: txt2audio / autoencoder / diffusion prior,
+    gradio.py:621-731)."""
     try:
         import gradio as gr
 
@@ -175,9 +279,24 @@ def create_ui(generate_fn: Callable, port: int = 7860):
                 gr.Button("Generate").click(
                     wrapped, [prompt, steps, cfg, seconds], audio
                 )
+            if autoencode_fn is not None:
+                with gr.Tab("Autoencoder"):
+                    path_in = gr.Textbox(label="wav path")
+                    audio_out = gr.Audio(label="roundtrip")
+                    gr.Button("Roundtrip").click(
+                        lambda p: autoencode_fn(p)[0], [path_in], audio_out
+                    )
+            if stereoize_fn is not None:
+                with gr.Tab("Mono→Stereo"):
+                    path_in2 = gr.Textbox(label="wav path")
+                    audio_out2 = gr.Audio(label="stereo")
+                    gr.Button("Stereoize").click(
+                        lambda p: stereoize_fn(p)[0], [path_in2], audio_out2
+                    )
         return demo
     except ImportError:
-        return DemoServer(generate_fn, port)
+        return DemoServer(generate_fn, port, autoencode_fn=autoencode_fn,
+                          stereoize_fn=stereoize_fn)
 
 
 def main(argv=None):
@@ -185,7 +304,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--model_scale", default="small")
     args = p.parse_args(argv)
-    ui = create_ui(make_etta_generate_fn(args.model_scale), args.port)
+    ui = create_ui(
+        make_etta_generate_fn(args.model_scale), args.port,
+        autoencode_fn=make_autoencoder_fn(), stereoize_fn=make_stereoize_fn(),
+    )
     if isinstance(ui, DemoServer):
         ui.serve_forever()
     else:
