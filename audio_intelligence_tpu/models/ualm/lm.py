@@ -186,6 +186,15 @@ def multistream_loss(
     count0 = jnp.sum((mask[:, :, 0] != 0.0).astype(jnp.float32))
     total = jnp.sum(loss) / jnp.maximum(count0, 1.0)
     stats = {"loss": total}
+    # per-stream (per-codebook) CE, the reference LM trainer's
+    # ce_per_codebook diagnostics (ETTA training/lm.py:84-117): mean CE over
+    # that stream's valid positions
+    valid = (mask != 0.0).astype(jnp.float32)
+    per_stream = jnp.sum(loss, axis=(0, 1)) / jnp.maximum(
+        jnp.sum(valid, axis=(0, 1)), 1.0
+    )
+    for k in range(per_stream.shape[0]):
+        stats[f"ce_q{k}"] = per_stream[k]
     if compute_acc:
         count = (mask != 0.0).astype(jnp.float32)
         stats["acc"] = jnp.sum(acc * count) / jnp.maximum(jnp.sum(count), 1.0)
