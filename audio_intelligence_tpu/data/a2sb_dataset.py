@@ -27,17 +27,23 @@ from audio_intelligence_tpu.data.audio_io import read_wav
 
 
 def read_standard_csv(path: str) -> list[dict]:
-    """Rows: filename[,duration_sec][,estimated_sr] (datasets.py:43-71)."""
+    """Rows: filename[,duration_sec][,estimated_sr], or the split-first
+    variant split,filename,duration[,estimated_sr] (datasets.py:43-71)."""
     rows = []
     with open(path) as f:
         for row in csv.reader(f):
             if not row:
                 continue
-            entry = {"filename": row[0]}
-            if len(row) > 1 and row[1]:
-                entry["duration"] = float(row[1])
-            if len(row) > 2 and row[2]:
-                entry["estimated_sr"] = float(row[2])
+            if row[0].strip() in ("train", "validation", "test"):
+                entry = {"split": row[0].strip(), "filename": row[1]}
+                rest = row[2:]
+            else:
+                entry = {"filename": row[0]}
+                rest = row[1:]
+            if len(rest) > 0 and rest[0]:
+                entry["duration"] = float(rest[0])
+            if len(rest) > 1 and rest[1]:
+                entry["estimated_sr"] = float(rest[1])
             rows.append(entry)
     return rows
 
@@ -73,17 +79,30 @@ class MixAudioDataset:
     gt_transform: Optional[Callable] = None
     corruption: Optional[Callable] = None
     max_retries: int = 5
+    split: Optional[str] = None
+    max_samples: Optional[int] = None
 
     def __post_init__(self):
+        # split column filtering + per-split caps (datasets.py:76-127,
+        # datamodule.py val_max_samples)
         self.entries: list[dict] = []
         for name, cfg in self.mix_config.items():
             manifest = os.path.join(cfg["root_folder"], cfg["filename"])
+            kept = 0
             for row in read_standard_csv(manifest):
+                if (
+                    self.split is not None
+                    and str(row.get("split", self.split)).strip() != self.split
+                ):
+                    continue
+                if self.max_samples is not None and kept >= self.max_samples:
+                    break
                 fn = row["filename"]
                 if not os.path.isabs(fn):
                     fn = os.path.join(cfg["root_folder"], fn)
                 row = dict(row, filename=fn, dataset=name)
                 self.entries.append(row)
+                kept += 1
         # segment index: (entry_idx, segment_idx) per fixed window
         self.index: list[tuple[int, int]] = []
         for ei, row in enumerate(self.entries):
@@ -147,7 +166,7 @@ class MixAudioDataset:
             samples = [self.__getitem__(int(j), rng) for j in order[i : i + batch_size]]
             yield {
                 k: np.stack([s[k] for s in samples])
-                for k in ("x_0_clean", "x_0_corrupted", "loss_mask")
+                for k in ("wav", "x_0_clean", "x_0_corrupted", "loss_mask")
                 if k in samples[0]
             }
 
@@ -170,3 +189,86 @@ class FullSequencePredictDataset:
         if self.gt_transform is not None:
             sample["x_0_clean"] = np.asarray(self.gt_transform(wav))
         return sample
+
+
+@dataclass
+class STFTAudioDataModule:
+    """Stage wiring over the datasets (A2SB/datasets/datamodule.py:34-210).
+
+    ``setup(stage)`` builds:
+    - fit        → one combined trainset + one valset PER dataset name
+                   (evaluation uses fixed randomness; val capped at
+                   ``val_max_samples`` like the reference),
+    - validation → the per-dataset valsets only,
+    - test       → per-dataset testsets,
+    - predict    → FullSequencePredictDataset over predict_filelist
+                   [predict_start_idx:predict_end_idx].
+    """
+
+    mix_dataset_config: dict
+    segment_length: int = 130560
+    sampling_rate: int = 44100
+    batch_size: int = 8
+    gt_transform: Optional[Callable] = None
+    corruption: Optional[Callable] = None
+    train_max_samples: Optional[int] = None
+    val_max_samples: int = 100
+    predict_filelist: Sequence[str] = ()
+    predict_start_idx: int = 0
+    predict_end_idx: Optional[int] = None
+
+    def _make(self, config, split, max_samples):
+        return MixAudioDataset(
+            mix_config=config,
+            segment_length=self.segment_length,
+            sampling_rate=self.sampling_rate,
+            gt_transform=self.gt_transform,
+            corruption=self.corruption,
+            split=split,
+            max_samples=max_samples,
+        )
+
+    def _per_dataset(self, split, max_samples):
+        sets = []
+        for name in self.mix_dataset_config:
+            ds = self._make(
+                {name: self.mix_dataset_config[name]}, split, max_samples
+            )
+            if len(ds) > 0:
+                sets.append(ds)
+        return sets
+
+    def setup(self, stage: str):
+        if stage == "fit":
+            self.trainset = self._make(
+                self.mix_dataset_config, "train", self.train_max_samples
+            )
+            self.valset = self._per_dataset("validation", self.val_max_samples)
+        elif stage == "validation":
+            self.valset = self._per_dataset("validation", self.val_max_samples)
+        elif stage == "test":
+            self.testset = self._per_dataset("test", None)
+        elif stage == "predict":
+            end = self.predict_end_idx
+            files = list(self.predict_filelist)[self.predict_start_idx : end]
+            self.predictset = FullSequencePredictDataset(
+                filelist=files,
+                sampling_rate=self.sampling_rate,
+                gt_transform=self.gt_transform,
+            )
+        else:
+            raise ValueError(f"unknown stage {stage!r}")
+
+    def train_dataloader(self, rng=None):
+        rng = rng or np.random.default_rng(0)
+        return self.trainset.iter_batches(self.batch_size, rng, shuffle=True)
+
+    def val_dataloaders(self, rng=None):
+        # fixed randomness per the reference's validation augmentation
+        return [
+            ds.iter_batches(self.batch_size, np.random.default_rng(0), shuffle=False)
+            for ds in self.valset
+        ]
+
+    def predict_dataloader(self):
+        return (self.predictset[i] for i in range(len(self.predictset)))

@@ -162,3 +162,44 @@ def test_create_dataloader_from_config(tmp_path):
     audio, meta = next(train_iter())
     assert audio.shape == (2, 1, 2000)
     assert len(meta["prompt"]) == 2
+
+
+def test_stft_datamodule_stages(tmp_path):
+    """Stage wiring (A2SB/datasets/datamodule.py:34-210)."""
+    import wave
+
+    from audio_intelligence_tpu.data.a2sb_dataset import STFTAudioDataModule
+
+    sr = 44100
+    lines = []
+    for i in range(4):
+        p = tmp_path / f"f{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(
+                (np.sin(np.arange(sr) * 0.01 * (i + 1)) * 20000)
+                .astype(np.int16)
+                .tobytes()
+            )
+        split = "train" if i < 3 else "validation"
+        lines.append(f"{split},f{i}.wav,1.0")
+    (tmp_path / "man.csv").write_text("\n".join(lines))
+    dm = STFTAudioDataModule(
+        {"d0": {"root_folder": str(tmp_path), "filename": "man.csv"}},
+        segment_length=sr // 4,
+        batch_size=2,
+        val_max_samples=5,
+    )
+    dm.setup("fit")
+    assert len(dm.trainset.entries) == 3
+    assert len(dm.valset) == 1 and len(dm.valset[0].entries) == 1
+    batch = next(dm.train_dataloader(np.random.default_rng(0)))
+    assert batch["wav"].shape == (2, sr // 4)
+    dm.predict_filelist = [str(tmp_path / "f0.wav")]
+    dm.setup("predict")
+    item = next(dm.predict_dataloader())
+    assert item["wav"].shape[-1] == sr
+    dm.setup("test")
+    assert dm.testset == []  # no test split rows
