@@ -129,3 +129,41 @@ class WaveletPretransform:
                 new_bands.append(self._haar_inv(bands[i], bands[i + 1]))
             bands = new_bands
         return bands[0]
+
+
+@dataclass
+class CodecPretransform:
+    """Discrete-codec pretransform (pretransforms.py
+    PretrainedDACPretransform:137-196 / AudiocraftCompressionPretransform
+    :198-244): tokenize on encode, detokenize on decode, optional
+    quantize-on-decode (continuous latents in, quantized out).
+
+    The reference downloads pretrained DAC/EnCodec torch models; in this
+    zero-egress image the wrapper takes any codec with the RVQCodec
+    contract (``encode → codes [B, T', S]``, ``decode(codes) → audio``,
+    ``quantize(latents)``), e.g. `models/ualm/codec.RVQCodec`. Converted
+    DAC weights plug in through the same contract.
+    """
+
+    codec: object  # flax module with encode/decode/(quantize) methods
+    variables: object
+    downsampling_ratio: int = 512
+    io_channels: int = 1
+    scale: float = 1.0
+    quantize_on_decode: bool = False
+    is_discrete: bool = True
+
+    def tokenize(self, x):
+        """audio [B, T, C] → codes [B, T', S]."""
+        wav = x[..., 0] if x.ndim == 3 else x
+        return self.codec.apply(self.variables, wav, method=type(self.codec).encode)
+
+    def decode_tokens(self, codes):
+        wav = self.codec.apply(self.variables, codes, method=type(self.codec).decode)
+        return wav[..., None] if wav.ndim == 2 else wav
+
+    def encode(self, x):
+        return self.tokenize(x)
+
+    def decode(self, z):
+        return self.decode_tokens(z)
