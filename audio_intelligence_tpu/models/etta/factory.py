@@ -53,15 +53,16 @@ def create_autoencoder_from_config(model_cfg: dict) -> AudioAutoencoder:
     enc_cfg = model_cfg["encoder"]["config"]
     dec_cfg = model_cfg["decoder"]["config"]
     assert model_cfg["encoder"].get("type", "oobleck") == "oobleck"
+    io_ch = model_cfg.get("io_channels", 2)
     encoder = OobleckEncoder(
-        in_channels=enc_cfg.get("in_channels", 2),
+        in_channels=enc_cfg.get("in_channels", io_ch),
         channels=enc_cfg.get("channels", 128),
         latent_dim=enc_cfg.get("latent_dim", 128),
         c_mults=tuple(enc_cfg.get("c_mults", (1, 2, 4, 8, 16))),
         strides=tuple(enc_cfg.get("strides", (2, 4, 4, 8, 8))),
     )
     decoder = OobleckDecoder(
-        out_channels=dec_cfg.get("out_channels", 2),
+        out_channels=dec_cfg.get("out_channels", io_ch),
         channels=dec_cfg.get("channels", 128),
         latent_dim=dec_cfg.get("latent_dim", 64),
         c_mults=tuple(dec_cfg.get("c_mults", (1, 2, 4, 8, 16))),
@@ -74,7 +75,7 @@ def create_autoencoder_from_config(model_cfg: dict) -> AudioAutoencoder:
         decoder=decoder,
         bottleneck=bottleneck,
         downsampling_ratio=model_cfg.get("downsampling_ratio", 2048),
-        io_channels=model_cfg.get("io_channels", 2),
+        io_channels=io_ch,
         sample_rate=model_cfg.get("sample_rate", 44100),
     )
 
@@ -159,3 +160,91 @@ def create_model_from_config(config: dict) -> dict[str, Any]:
     else:
         raise ValueError(f"unknown model_type {model_type}")
     return out
+
+
+def create_training_wrapper_from_config(
+    config: dict, modules: dict, batch_size: int = 2, seed: int = 0
+):
+    """Config → training-step functions + initial state (reference
+    training/factory.py create_training_wrapper_from_config:9-169).
+
+    autoencoder → {"gen_step", "disc_step", "state", "gan_type"}
+    diffusion_* → {"train_step", "state"}
+    Steps are un-jitted; callers jit (or pjit with shardings).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.etta import training as T
+
+    model_type = config["model_type"]
+    model_cfg = config["model"]
+    tr = config.get("training", {})
+    sample_size = config.get("sample_size", 65536)
+    sr = config.get("sample_rate", 44100)
+
+    if model_type == "autoencoder":
+        ae = modules["autoencoder"]
+        disc = modules["discriminator"]
+        io_ch = model_cfg.get("io_channels", 2)
+        gan_type = (
+            "dac"
+            if tr.get("loss_configs", {}).get("discriminator", {}).get("type")
+            == "dac"
+            else "hinge"
+        )
+        reals0 = jnp.zeros((batch_size, sample_size, io_ch))
+        gp = ae.init(
+            jax.random.PRNGKey(seed), reals0, jax.random.PRNGKey(seed + 1)
+        )["params"]
+        dp = disc.init(jax.random.PRNGKey(seed + 2), reals0)["params"]
+        gen_tx, disc_tx = T.make_vae_optimizers()
+        state = T.VAETrainState(
+            gp, dp, gp, gen_tx.init(gp), disc_tx.init(dp),
+            jnp.zeros((), jnp.int32),
+        )
+        gen_step, disc_step = T.make_vae_train_steps(
+            ae.apply, disc.apply, gen_tx, disc_tx, sample_rate=sr,
+            stereo=io_ch == 2, gan_type=gan_type,
+        )
+        return {
+            "gen_step": gen_step, "disc_step": disc_step, "state": state,
+            "gan_type": gan_type, "step_is_disc": T.vae_step_is_disc,
+        }
+
+    if model_type in ("diffusion_cond", "diffusion_uncond"):
+        dit = modules["diffusion"]
+        dcfg = model_cfg["diffusion"]["config"]
+        io = dcfg.get("io_channels", 64)
+        t_len = sample_size // config.get("downsampling_ratio", 2048)
+        x0 = jnp.zeros((batch_size, t_len, io))
+        cond0 = jnp.zeros((batch_size, 1, dcfg.get("cond_token_dim", 768)))
+        gcond0 = jnp.zeros((batch_size, dcfg.get("global_cond_dim", 1536)))
+        params = dit.init(
+            jax.random.PRNGKey(seed), x0, jnp.zeros((batch_size,)),
+            cond0, jnp.ones((batch_size, 1), bool), gcond0,
+        )["params"]
+        tx = T.make_diffusion_optimizer()
+        state = T.DiffusionTrainState(
+            params, params, tx.init(params), jnp.zeros((), jnp.int32)
+        )
+        train_step = T.make_diffusion_train_step(
+            dit.apply, tx,
+            cfg_dropout_prob=tr.get("cfg_dropout_prob", 0.1),
+        )
+        return {"train_step": train_step, "state": state}
+
+    raise ValueError(f"no training wrapper for model_type {model_type!r}")
+
+
+def create_demo_callback_from_config(config: dict, demo_fn):
+    """Config → DemoCallback (reference training/factory.py:170-250).
+    ``demo_fn(step) -> {name: (wav, sr)}`` renders the demos."""
+    from audio_intelligence_tpu.train.demo import DemoCallback
+
+    demo_cfg = config.get("training", {}).get("demo", {})
+    return DemoCallback(
+        demo_fn=demo_fn,
+        demo_every=demo_cfg.get("demo_every", 2000),
+        out_dir=demo_cfg.get("demo_dir", demo_cfg.get("out_dir", "demo")),
+    )
