@@ -54,3 +54,20 @@ def spectral_snr(pred: jax.Array, target: jax.Array, n_fft: int = 2048,
         10.0 * jnp.log10(jnp.sum(st**2, axis=(-2, -1)) /
                          (jnp.sum((sp - st) ** 2, axis=(-2, -1)) + eps) + eps)
     )
+
+
+def codebook_usage(codes, codebook_size: int):
+    """Per-codebook usage histogram + fraction of codes used (reference
+    ETTA training/autoencoders.py:370-375 logs these per quantizer).
+
+    codes: integer array [..., n_q] (trailing axis = quantizer index).
+    Returns (hist [n_q, codebook_size] normalized, used_fraction [n_q]).
+    """
+    import jax.numpy as jnp
+
+    flat = codes.reshape(-1, codes.shape[-1])  # [N, n_q]
+    one_hot = jax.nn.one_hot(flat, codebook_size, dtype=jnp.float32)
+    hist = one_hot.sum(axis=0)  # [n_q, K]
+    hist = hist / jnp.maximum(hist.sum(-1, keepdims=True), 1.0)
+    used = (hist > 0).astype(jnp.float32).mean(-1)
+    return hist, used

@@ -131,3 +131,31 @@ def load_exported_weights(template, path: str):
 
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
+
+
+def copy_matching_params(target, source, verbose: bool = True):
+    """Partial checkpoint loading (reference ETTA training/utils.py
+    copy_state_dict:70-100): copy every leaf whose path exists in both
+    trees with a matching shape; keep the target's value otherwise.
+    Returns (merged, copied_paths, skipped_paths)."""
+    import jax
+
+    flat_s = {tuple(str(k) for k in p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(source)[0]}
+    copied, skipped = [], []
+
+    def merge(path, leaf):
+        key = tuple(str(k) for k in path)
+        if key in flat_s and getattr(flat_s[key], "shape", None) == getattr(
+            leaf, "shape", None
+        ):
+            copied.append("/".join(key))
+            return flat_s[key]
+        skipped.append("/".join(key))
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(merge, target)
+    if verbose and skipped:
+        print(f"copy_matching_params: kept {len(skipped)} target leaves "
+              f"(missing/shape-mismatched in source), copied {len(copied)}")
+    return merged, copied, skipped

@@ -63,3 +63,25 @@ def test_fast_inpaint_fills_gaps_only():
     # gaps actually filled toward the oracle target (zero)
     gap = np.asarray(mask) == 1
     assert np.abs(out[gap]).mean() < np.abs(np.asarray(x1)[gap]).mean() * 0.5
+
+
+def test_codebook_usage():
+    from audio_intelligence_tpu.ops.metrics import codebook_usage
+
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 8, (4, 10, 2)))
+    hist, used = codebook_usage(codes, 16)
+    assert hist.shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(hist.sum(-1)), 1.0, atol=1e-6)
+    assert (np.asarray(used) <= 0.5 + 1e-6).all()  # codes only span [0, 8)
+
+
+def test_copy_matching_params_partial_load():
+    from audio_intelligence_tpu.train.checkpoint import copy_matching_params
+
+    t = {"a": jnp.zeros((2, 3)), "b": {"c": jnp.zeros(4), "d": jnp.zeros(5)}}
+    s = {"a": jnp.ones((2, 3)), "b": {"c": jnp.ones(9)}}
+    m, copied, skipped = copy_matching_params(t, s, verbose=False)
+    assert float(m["a"].sum()) == 6.0       # copied (shape match)
+    assert float(m["b"]["c"].sum()) == 0.0  # kept (shape mismatch)
+    assert float(m["b"]["d"].sum()) == 0.0  # kept (missing in source)
+    assert len(copied) == 1 and len(skipped) == 2
