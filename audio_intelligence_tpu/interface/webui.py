@@ -58,11 +58,13 @@ class DemoServer:
 
     def __init__(self, generate_fn: Callable, port: int = 7860,
                  autoencode_fn: Optional[Callable] = None,
-                 stereoize_fn: Optional[Callable] = None):
+                 stereoize_fn: Optional[Callable] = None,
+                 host: str = "127.0.0.1"):
         self.generate_fn = generate_fn
         self.autoencode_fn = autoencode_fn
         self.stereoize_fn = stereoize_fn
         self.port = port
+        self.host = host
         self._last_audio: Optional[bytes] = None
         outer = self
 
@@ -131,7 +133,9 @@ class DemoServer:
                     )
                 )
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        # localhost by default: this is an unauthenticated demo UI; exposing
+        # it on all interfaces requires an explicit --host 0.0.0.0.
+        self._server = ThreadingHTTPServer((host, port), Handler)
 
     def serve_forever(self):
         print(f"demo UI on http://localhost:{self.port}")
@@ -258,7 +262,8 @@ def make_stereoize_fn():
 
 def create_ui(generate_fn: Callable, port: int = 7860,
               autoencode_fn: Optional[Callable] = None,
-              stereoize_fn: Optional[Callable] = None):
+              stereoize_fn: Optional[Callable] = None,
+              host: str = "127.0.0.1"):
     """gradio when available, stdlib server otherwise (reference create_ui
     tab structure: txt2audio / autoencoder / diffusion prior,
     gradio.py:621-731)."""
@@ -296,22 +301,25 @@ def create_ui(generate_fn: Callable, port: int = 7860,
         return demo
     except ImportError:
         return DemoServer(generate_fn, port, autoencode_fn=autoencode_fn,
-                          stereoize_fn=stereoize_fn)
+                          stereoize_fn=stereoize_fn, host=host)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (0.0.0.0 to expose externally)")
     p.add_argument("--model_scale", default="small")
     args = p.parse_args(argv)
     ui = create_ui(
         make_etta_generate_fn(args.model_scale), args.port,
         autoencode_fn=make_autoencoder_fn(), stereoize_fn=make_stereoize_fn(),
+        host=args.host,
     )
     if isinstance(ui, DemoServer):
         ui.serve_forever()
     else:
-        ui.launch(server_port=args.port)
+        ui.launch(server_name=args.host, server_port=args.port)
 
 
 if __name__ == "__main__":

@@ -261,12 +261,31 @@ def main(argv=None):
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--n_blocks", type=int, default=5)
+    p.add_argument(
+        "--unsafe-pickle", action="store_true", dest="unsafe_pickle",
+        help="allow full unpickling (arbitrary code execution risk) for "
+        "legacy checkpoints that torch.load(weights_only=True) rejects",
+    )
     args = p.parse_args(argv)
 
     import torch
     from flax import serialization
 
-    ckpt = torch.load(args.input, map_location="cpu", weights_only=False)
+    # weights_only=True by default: converted checkpoints are plain tensor
+    # state dicts; full unpickling of externally obtained files allows
+    # arbitrary code execution and must be an explicit opt-in.
+    try:
+        ckpt = torch.load(
+            args.input, map_location="cpu", weights_only=not args.unsafe_pickle
+        )
+    except Exception as e:
+        if args.unsafe_pickle:
+            raise
+        raise SystemExit(
+            f"safe (weights_only) load failed: {e}\n"
+            "If this is a trusted legacy checkpoint that needs full "
+            "unpickling, re-run with --unsafe-pickle."
+        )
     sd = ckpt.get("state_dict", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
