@@ -489,6 +489,10 @@ def cfg_forward(
         if global_cond is not None
         else None
     )
+    # batch-doubled call: any batched kwargs must double too
+    icc = kwargs.get("input_concat_cond")
+    if icc is not None:
+        kwargs = dict(kwargs, input_concat_cond=jnp.concatenate([icc, icc], axis=0))
     out = apply_fn(bx, bt, bc, bm, bg, **kwargs)
     cond_out, uncond_out = jnp.split(out, 2, axis=0)
     cfg_out = uncond_out + (cond_out - uncond_out) * cfg_scale

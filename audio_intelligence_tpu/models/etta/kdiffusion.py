@@ -3,17 +3,26 @@
 The reference's ``sample_k`` (ETTA/stable_audio_tools/inference/
 sampling.py:321-475) wraps models in k-diffusion's VDenoiser and runs
 k-samplers over a polyexponential sigma ramp. This module provides the
-same capability natively: the VDenoiser parameterization and the most
-used solvers (k-euler, k-heun, dpm++ 2M) as ``lax.scan`` loops.
+same capability natively as ``lax.scan``/``lax.while_loop`` programs with
+zero per-step host sync: the VDenoiser parameterization and the full
+solver menu the reference exposes — k-euler, k-heun, k-dpmpp-2s-ancestral,
+k-dpm-2, k-dpm-fast, k-dpm-adaptive, dpmpp-2m-sde, dpmpp-3m-sde.
 
 VDenoiser (Karras preconditioning of a v-model):
   c_skip = 1/(σ²+1), c_out = −σ/√(σ²+1), c_in = 1/√(σ²+1)
   D(x, σ) = c_skip·x + c_out·model(c_in·x, t(σ)),  t(σ) = atan(σ)·2/π
+
+Solver math follows the published DPM-Solver / DPM-Solver++ algorithms in
+log-SNR time t = −log σ (σ(t) = e^{−t}); stochastic samplers take an
+explicit PRNG key. Each stepped sampler accepts an optional
+``pre_step(i, x, sigma, key) → x`` hook — the TPU-native equivalent of
+k-diffusion's mutating callback, used for the shrinking-mask inpainting
+path (sampling.py:370-383) — applied to x before each model evaluation.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,20 +54,79 @@ def v_denoiser(model_fn: Callable) -> Callable:
     return denoise
 
 
-def sample_k_euler(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.Array:
-    def step(x, ss):
-        s, s_next = ss
-        d = (x - denoise(x, jnp.broadcast_to(s, (x.shape[0],)))) / s
-        return (x + d * (s_next - s)).astype(x.dtype), None
+def _t_of(s):
+    """log-SNR time t(σ) = −log σ (clamped)."""
+    return -jnp.log(jnp.maximum(s, 1e-10))
 
-    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], -1)
-    x, _ = jax.lax.scan(step, x, pairs)
+
+def _sigma_of(t):
+    """σ(t) = e^{−t}."""
+    return jnp.exp(-t)
+
+
+def _noop_pre_step(i, x, sigma, key):
     return x
 
 
-def sample_k_heun(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.Array:
-    def step(x, ss):
-        s, s_next = ss
+def _scan_pairs(sigmas):
+    n = sigmas.shape[0] - 1
+    return jnp.stack(
+        [sigmas[:-1], sigmas[1:], jnp.arange(n, dtype=sigmas.dtype)], -1
+    )
+
+
+def get_ancestral_step(sigma_from, sigma_to, eta: float = 1.0):
+    """Split an ancestral step into (σ_down deterministic, σ_up noise)."""
+    sigma_up = jnp.minimum(
+        sigma_to,
+        eta
+        * jnp.sqrt(
+            sigma_to**2
+            * jnp.maximum(sigma_from**2 - sigma_to**2, 0.0)
+            / jnp.maximum(sigma_from**2, 1e-20)
+        ),
+    )
+    sigma_down = jnp.sqrt(jnp.maximum(sigma_to**2 - sigma_up**2, 0.0))
+    return sigma_down, sigma_up
+
+
+def sample_k_euler(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: Optional[jax.Array] = None,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    pre = pre_step or _noop_pre_step
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, ss):
+        x, key = carry
+        s, s_next, i = ss
+        key, sub = jax.random.split(key)
+        x = pre(i, x, s, sub)
+        d = (x - denoise(x, jnp.broadcast_to(s, (x.shape[0],)))) / s
+        return ((x + d * (s_next - s)).astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), _scan_pairs(sigmas))
+    return x
+
+
+def sample_k_heun(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: Optional[jax.Array] = None,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    pre = pre_step or _noop_pre_step
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, ss):
+        x, key = carry
+        s, s_next, i = ss
+        key, sub = jax.random.split(key)
+        x = pre(i, x, s, sub)
         b = lambda v: jnp.broadcast_to(v, (x.shape[0],))
         d = (x - denoise(x, b(s))) / s
         x_e = x + d * (s_next - s)
@@ -67,32 +135,39 @@ def sample_k_heun(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.Arr
             d2 = (x_e - denoise(x_e, b(s_next))) / s_next
             return x + 0.5 * (d + d2) * (s_next - s)
 
-        return jax.lax.cond(s_next > 0, heun, lambda _: x_e, None).astype(x.dtype), None
+        x_next = jax.lax.cond(s_next > 0, heun, lambda _: x_e, None)
+        return (x_next.astype(x.dtype), key), None
 
-    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], -1)
-    x, _ = jax.lax.scan(step, x, pairs)
+    (x, _), _ = jax.lax.scan(step, (x, key), _scan_pairs(sigmas))
     return x
 
 
-def sample_dpmpp_2m(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.Array:
-    """DPM-Solver++(2M) — the reference's dpmpp-2m-sde deterministic core."""
-
-    def t_of(s):
-        return -jnp.log(jnp.maximum(s, 1e-10))
+def sample_dpmpp_2m(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: Optional[jax.Array] = None,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) — deterministic multistep second order."""
+    pre = pre_step or _noop_pre_step
+    key = key if key is not None else jax.random.PRNGKey(0)
 
     def step(carry, ss):
-        x, old_denoised, prev_sigma = carry
-        s, s_next = ss
+        x, old_denoised, prev_sigma, key = carry
+        s, s_next, i = ss
+        key, sub = jax.random.split(key)
+        x = pre(i, x, s, sub)
         b = lambda v: jnp.broadcast_to(v, (x.shape[0],))
         den = denoise(x, b(s))
-        t, t_next = t_of(s), t_of(s_next)
+        t, t_next = _t_of(s), _t_of(s_next)
         h = t_next - t
 
         def first_or_last(_):
             return (s_next / s) * x - jnp.expm1(-h) * den
 
         def multistep(_):
-            h_last = t - t_of(prev_sigma)
+            h_last = t - _t_of(prev_sigma)
             r = h_last / h
             denoised_d = (1 + 1 / (2 * r)) * den - (1 / (2 * r)) * old_denoised
             return (s_next / s) * x - jnp.expm1(-h) * denoised_d
@@ -101,11 +176,427 @@ def sample_dpmpp_2m(denoise: Callable, x: jax.Array, sigmas: jax.Array) -> jax.A
         x_next = jax.lax.cond(
             has_prev & (s_next > 0), multistep, first_or_last, None
         )
-        return (x_next.astype(x.dtype), den.astype(x.dtype), s), None
+        return (x_next.astype(x.dtype), den.astype(x.dtype), s, key), None
 
-    pairs = jnp.stack([sigmas[:-1], sigmas[1:]], -1)
-    (x, _, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x), jnp.zeros(())), pairs)
+    (x, _, _, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x), jnp.zeros(()), key), _scan_pairs(sigmas)
+    )
     return x
+
+
+def sample_dpmpp_2s_ancestral(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: jax.Array,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    """Ancestral DPM-Solver++(2S): each step splits σ→(σ_down, σ_up),
+    advances deterministically to σ_down with a 2nd-order single-step
+    midpoint rule in log-SNR time, then adds fresh noise at scale σ_up."""
+    pre = pre_step or _noop_pre_step
+
+    def step(carry, ss):
+        x, key = carry
+        s, s_next, i = ss
+        key, k_pre, k_up = jax.random.split(key, 3)
+        x = pre(i, x, s, k_pre)
+        b = lambda v: jnp.broadcast_to(v, (x.shape[0],))
+        den = denoise(x, b(s))
+        s_down, s_up = get_ancestral_step(s, s_next, eta)
+
+        def euler(_):
+            d = (x - den) / s
+            return x + d * (s_down - s)
+
+        def dpmpp_2s(_):
+            t, t_next = _t_of(s), _t_of(s_down)
+            h = t_next - t
+            s_mid = t + 0.5 * h
+            x_2 = (_sigma_of(s_mid) / _sigma_of(t)) * x - jnp.expm1(
+                -0.5 * h
+            ) * den
+            den_2 = denoise(x_2, b(_sigma_of(s_mid)))
+            return (_sigma_of(t_next) / _sigma_of(t)) * x - jnp.expm1(-h) * den_2
+
+        x_next = jax.lax.cond(s_down > 0, dpmpp_2s, euler, None)
+        noise = jax.random.normal(k_up, x.shape, x.dtype)
+        x_next = jnp.where(
+            s_next > 0, x_next + noise * (s_noise * s_up), x_next
+        )
+        return (x_next.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), _scan_pairs(sigmas))
+    return x
+
+
+def sample_dpm_2(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: Optional[jax.Array] = None,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    """DPM-Solver-2 (Karras midpoint in σ-space, log-midpoint σ_mid)."""
+    pre = pre_step or _noop_pre_step
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def step(carry, ss):
+        x, key = carry
+        s, s_next, i = ss
+        key, sub = jax.random.split(key)
+        x = pre(i, x, s, sub)
+        b = lambda v: jnp.broadcast_to(v, (x.shape[0],))
+        den = denoise(x, b(s))
+        d = (x - den) / s
+
+        def euler(_):
+            return x + d * (s_next - s)
+
+        def midpoint(_):
+            s_mid = jnp.exp(
+                0.5 * (jnp.log(jnp.maximum(s, 1e-20)) + jnp.log(jnp.maximum(s_next, 1e-20)))
+            )
+            x_2 = x + d * (s_mid - s)
+            den_2 = denoise(x_2, b(s_mid))
+            d_2 = (x_2 - den_2) / s_mid
+            return x + d_2 * (s_next - s)
+
+        x_next = jax.lax.cond(s_next > 0, midpoint, euler, None)
+        return (x_next.astype(x.dtype), key), None
+
+    (x, _), _ = jax.lax.scan(step, (x, key), _scan_pairs(sigmas))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# DPM-Solver fast / adaptive (log-SNR time, ε-parameterization)
+# ---------------------------------------------------------------------------
+
+
+def _eps_of(denoise, x, t):
+    """ε(x, t) = (x − D(x, σ(t))) / σ(t)."""
+    sigma = _sigma_of(t)
+    den = denoise(x, jnp.broadcast_to(sigma, (x.shape[0],)))
+    return (x - den) / sigma
+
+
+def _dpm_1_step(denoise, x, t, t_next, eps):
+    h = t_next - t
+    return x - _sigma_of(t_next) * jnp.expm1(h) * eps
+
+
+def _dpm_2_step(denoise, x, t, t_next, eps, r1=0.5):
+    h = t_next - t
+    s1 = t + r1 * h
+    u1 = x - _sigma_of(s1) * jnp.expm1(r1 * h) * eps
+    eps_r1 = _eps_of(denoise, u1, s1)
+    return (
+        x
+        - _sigma_of(t_next) * jnp.expm1(h) * eps
+        - _sigma_of(t_next) / (2 * r1) * jnp.expm1(h) * (eps_r1 - eps)
+    )
+
+
+def _dpm_3_step(denoise, x, t, t_next, eps, r1=1.0 / 3.0, r2=2.0 / 3.0):
+    h = t_next - t
+    s1 = t + r1 * h
+    s2 = t + r2 * h
+    u1 = x - _sigma_of(s1) * jnp.expm1(r1 * h) * eps
+    eps_r1 = _eps_of(denoise, u1, s1)
+    u2 = (
+        x
+        - _sigma_of(s2) * jnp.expm1(r2 * h) * eps
+        - _sigma_of(s2)
+        * (r2 / r1)
+        * (jnp.expm1(r2 * h) / (r2 * h) - 1)
+        * (eps_r1 - eps)
+    )
+    eps_r2 = _eps_of(denoise, u2, s2)
+    return (
+        x
+        - _sigma_of(t_next) * jnp.expm1(h) * eps
+        - _sigma_of(t_next) * (jnp.expm1(h) / h - 1) * (eps_r2 - eps)
+    )
+
+
+def sample_dpm_fast(
+    denoise: Callable,
+    x: jax.Array,
+    sigma_min: float,
+    sigma_max: float,
+    n: int,
+    key: Optional[jax.Array] = None,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    """DPM-Solver-fast: n model evaluations split into 3rd/2nd/1st-order
+    segments over a uniform log-SNR grid. The segment schedule is static
+    (Python-level), so the whole trajectory still compiles to one program.
+    """
+    pre = pre_step or _noop_pre_step
+    key = key if key is not None else jax.random.PRNGKey(0)
+    m = n // 3 + 1
+    if n % 3 == 0:
+        orders = [3] * (m - 2) + [2, 1]
+    else:
+        orders = [3] * (m - 1) + [n % 3]
+    ts = np.linspace(
+        float(_t_of(jnp.asarray(sigma_max))),
+        float(_t_of(jnp.asarray(sigma_min))),
+        len(orders) + 1,
+    )
+    for i, order in enumerate(orders):
+        t, t_next = jnp.asarray(ts[i], x.dtype), jnp.asarray(ts[i + 1], x.dtype)
+        key, sub = jax.random.split(key)
+        x = pre(jnp.asarray(i, jnp.float32), x, _sigma_of(t), sub)
+        eps = _eps_of(denoise, x, t)
+        if order == 1:
+            x = _dpm_1_step(denoise, x, t, t_next, eps)
+        elif order == 2:
+            x = _dpm_2_step(denoise, x, t, t_next, eps)
+        else:
+            x = _dpm_3_step(denoise, x, t, t_next, eps)
+        x = x.astype(eps.dtype)
+    # drive σ_min → 0 with the exact denoiser limit (k-diffusion appends
+    # σ=0: the final Euler step lands on D(x, σ_min))
+    den = denoise(x, jnp.broadcast_to(jnp.asarray(sigma_min, x.dtype), (x.shape[0],)))
+    return den.astype(x.dtype)
+
+
+def sample_dpm_adaptive(
+    denoise: Callable,
+    x: jax.Array,
+    sigma_min: float,
+    sigma_max: float,
+    order: int = 3,
+    rtol: float = 0.05,
+    atol: float = 0.0078,
+    h_init: float = 0.05,
+    accept_safety: float = 0.81,
+    max_steps: int = 256,
+) -> jax.Array:
+    """Adaptive DPM-Solver with a PI step-size controller as one
+    ``lax.while_loop`` (embedded 2(1) or 3(2) error estimate). Runs fully
+    on device with no host sync; ``max_steps`` bounds the trace.
+
+    Design note: k-diffusion uses a PID controller over the last three
+    inverse errors with an atan limiter; this implementation keeps the
+    same accept test and limiter with the P+I terms (derivative term 0 at
+    the reference's defaults pcoeff=0, dcoeff=0, icoeff=1).
+    """
+    assert order in (2, 3)
+    t_end = float(_t_of(jnp.asarray(sigma_min)))
+    t_start = float(_t_of(jnp.asarray(sigma_max)))
+
+    def cond(carry):
+        x, x_prev, s, h, err_prev, steps = carry
+        return (s < t_end - 1e-5) & (steps < max_steps)
+
+    def body(carry):
+        x, x_prev, s, h, err_prev, steps = carry
+        t = jnp.minimum(t_end, s + h)
+        eps = _eps_of(denoise, x, s)
+        if order == 2:
+            x_low = _dpm_1_step(denoise, x, s, t, eps)
+            x_high = _dpm_2_step(denoise, x, s, t, eps)
+        else:
+            x_low = _dpm_2_step(denoise, x, s, t, eps, r1=1.0 / 3.0)
+            x_high = _dpm_3_step(denoise, x, s, t, eps)
+        delta = jnp.maximum(atol, rtol * jnp.maximum(jnp.abs(x_low), jnp.abs(x_prev)))
+        error = jnp.sqrt(jnp.mean(jnp.square((x_low - x_high) / delta)))
+        inv_err = 1.0 / (error + 1e-8)
+        # PI controller in the limiter form: factor = limiter(e0^b1 · e1^b2)
+        b1, b2 = 1.0 / order, 0.0
+        factor = 1.0 + jnp.arctan(inv_err**b1 * err_prev**b2 - 1.0)
+        accept = factor >= accept_safety
+        x_next = jnp.where(accept, x_high, x)
+        x_prev_next = jnp.where(accept, x_low, x_prev)
+        s_next = jnp.where(accept, t, s)
+        h_next = h * factor
+        err_next = jnp.where(accept, inv_err, err_prev)
+        return (
+            x_next.astype(x.dtype),
+            x_prev_next.astype(x.dtype),
+            s_next,
+            h_next,
+            err_next,
+            steps + 1,
+        )
+
+    init = (
+        x,
+        x,
+        jnp.asarray(t_start, jnp.float32),
+        jnp.asarray(h_init, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    x, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    den = denoise(x, jnp.broadcast_to(jnp.asarray(sigma_min, x.dtype), (x.shape[0],)))
+    return den.astype(x.dtype)
+
+
+def sample_dpmpp_2m_sde(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: jax.Array,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    solver_type: str = "midpoint",
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) SDE (midpoint or heun multistep correction)."""
+    assert solver_type in ("midpoint", "heun")
+    pre = pre_step or _noop_pre_step
+
+    def step(carry, ss):
+        x, old_den, h_last, have_prev, key = carry
+        s, s_next, i = ss
+        key, k_pre, k_up = jax.random.split(key, 3)
+        x = pre(i, x, s, k_pre)
+        b = lambda v: jnp.broadcast_to(v, (x.shape[0],))
+        den = denoise(x, b(s))
+
+        def last(_):
+            return den, jnp.zeros(())
+
+        def general(_):
+            t, t_next = _t_of(s), _t_of(s_next)
+            h = t_next - t
+            eta_h = eta * h
+            x_new = (s_next / s) * jnp.exp(-eta_h) * x - jnp.expm1(
+                -h - eta_h
+            ) * den
+
+            r = h_last / h
+            if solver_type == "heun":
+                corr = (
+                    (-jnp.expm1(-h - eta_h) / (-h - eta_h) + 1.0)
+                    * (1.0 / r)
+                    * (den - old_den)
+                )
+            else:  # midpoint
+                corr = 0.5 * -jnp.expm1(-h - eta_h) * (1.0 / r) * (den - old_den)
+            x_new = jnp.where(have_prev, x_new + corr, x_new)
+
+            noise = jax.random.normal(k_up, x.shape, x.dtype)
+            up = s_next * jnp.sqrt(-jnp.expm1(-2.0 * eta_h)) * s_noise
+            return x_new + noise * up, h
+
+        x_next, h = jax.lax.cond(s_next > 0, general, last, None)
+        return (
+            x_next.astype(x.dtype),
+            den.astype(x.dtype),
+            h,
+            jnp.asarray(True),
+            key,
+        ), None
+
+    init = (x, jnp.zeros_like(x), jnp.zeros(()), jnp.asarray(False), key)
+    (x, _, _, _, _), _ = jax.lax.scan(step, init, _scan_pairs(sigmas))
+    return x
+
+
+def sample_dpmpp_3m_sde(
+    denoise: Callable,
+    x: jax.Array,
+    sigmas: jax.Array,
+    key: jax.Array,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    pre_step: Optional[Callable] = None,
+) -> jax.Array:
+    """DPM-Solver++(3M) SDE — third-order multistep with stochasticity."""
+    pre = pre_step or _noop_pre_step
+
+    def step(carry, ss):
+        x, den_1, den_2, h_1, h_2, n_prev, key = carry
+        s, s_next, i = ss
+        key, k_pre, k_up = jax.random.split(key, 3)
+        x = pre(i, x, s, k_pre)
+        b = lambda v: jnp.broadcast_to(v, (x.shape[0],))
+        den = denoise(x, b(s))
+
+        def last(_):
+            return den, jnp.zeros(())
+
+        def general(_):
+            t, t_next = _t_of(s), _t_of(s_next)
+            h = t_next - t
+            h_eta = h * (eta + 1.0)
+            x_new = jnp.exp(-h_eta) * x + (-jnp.expm1(-h_eta)) * den
+            phi_2 = jnp.expm1(-h_eta) / h_eta + 1.0
+            phi_3 = phi_2 / h_eta - 0.5
+
+            def third(_):
+                r0 = h_1 / h
+                r1 = h_2 / h
+                d1_0 = (den - den_1) / r0
+                d1_1 = (den_1 - den_2) / r1
+                d1 = d1_0 + (d1_0 - d1_1) * r0 / (r0 + r1)
+                d2 = (d1_0 - d1_1) / (r0 + r1)
+                return x_new + phi_2 * d1 - phi_3 * d2
+
+            def second(_):
+                r = h_1 / h
+                d = (den - den_1) / r
+                return x_new + phi_2 * d
+
+            x_corr = jax.lax.cond(
+                n_prev >= 2,
+                third,
+                lambda _: jax.lax.cond(n_prev == 1, second, lambda __: x_new, None),
+                None,
+            )
+            noise = jax.random.normal(k_up, x.shape, x.dtype)
+            up = s_next * jnp.sqrt(-jnp.expm1(-2.0 * h * eta)) * s_noise
+            return x_corr + noise * up, h
+
+        x_next, h = jax.lax.cond(s_next > 0, general, last, None)
+        return (
+            x_next.astype(x.dtype),
+            den.astype(x.dtype),
+            den_1,
+            h,
+            h_1,
+            jnp.minimum(n_prev + 1, 2),
+            key,
+        ), None
+
+    init = (
+        x,
+        jnp.zeros_like(x),
+        jnp.zeros_like(x),
+        jnp.zeros(()),
+        jnp.zeros(()),
+        jnp.asarray(0, jnp.int32),
+        key,
+    )
+    (x, _, _, _, _, _, _), _ = jax.lax.scan(step, init, _scan_pairs(sigmas))
+    return x
+
+
+_K_SAMPLERS = {
+    "k-euler": sample_k_euler,
+    "euler": sample_k_euler,
+    "k-heun": sample_k_heun,
+    "heun": sample_k_heun,
+    "dpmpp-2m": sample_dpmpp_2m,
+    "k-dpmpp-2m": sample_dpmpp_2m,
+    "k-dpmpp-2s-ancestral": sample_dpmpp_2s_ancestral,
+    "dpmpp-2s-ancestral": sample_dpmpp_2s_ancestral,
+    "k-dpm-2": sample_dpm_2,
+    "dpm-2": sample_dpm_2,
+    "dpmpp-2m-sde": sample_dpmpp_2m_sde,
+    "k-dpmpp-2m-sde": sample_dpmpp_2m_sde,
+    "dpmpp-3m-sde": sample_dpmpp_3m_sde,
+    "k-dpmpp-3m-sde": sample_dpmpp_3m_sde,
+}
+
+SAMPLER_TYPES = tuple(sorted(set(_K_SAMPLERS))) + ("dpm-fast", "dpm-adaptive")
 
 
 def sample_k(
@@ -116,16 +607,39 @@ def sample_k(
     sigma_min: float = 0.3,
     sigma_max: float = 500.0,
     rho: float = 1.0,
+    key: Optional[jax.Array] = None,
+    pre_step: Optional[Callable] = None,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+    init_data: Optional[jax.Array] = None,
 ) -> jax.Array:
     """sample_k entry (sampling.py:321-475 defaults for v-objective ckpts:
-    σ 0.3/500). x is unit noise; it is scaled by σmax internally."""
-    sigmas = sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
+    σ 0.3/500). x is unit noise; it is scaled by σmax internally.
+
+    ``pre_step(i, x, sigma, key) → x`` is the per-step hook used for
+    inpainting (the shrinking-binary-mask callback); stochastic samplers
+    require ``key``. ``init_data`` starts from init + noise·σmax
+    (variation mode, sampling.py:354-358).
+    """
     denoise = v_denoiser(model_fn)
-    x = x * sigmas[0]
-    if sampler_type in ("k-euler", "euler"):
-        return sample_k_euler(denoise, x, sigmas)
-    if sampler_type in ("k-heun", "heun"):
-        return sample_k_heun(denoise, x, sigmas)
-    if sampler_type in ("dpmpp-2m", "dpmpp-2m-sde"):
-        return sample_dpmpp_2m(denoise, x, sigmas)
-    raise ValueError(f"unknown sampler_type {sampler_type}")
+    x = x * sigma_max
+    if init_data is not None:
+        x = init_data + x
+    if sampler_type in ("dpm-fast", "k-dpm-fast"):
+        return sample_dpm_fast(
+            denoise, x, sigma_min, sigma_max, steps, key=key, pre_step=pre_step
+        )
+    if sampler_type in ("dpm-adaptive", "k-dpm-adaptive"):
+        return sample_dpm_adaptive(denoise, x, sigma_min, sigma_max)
+    sigmas = sigmas_polyexponential(steps, sigma_min, sigma_max, rho)
+    fn = _K_SAMPLERS.get(sampler_type)
+    if fn is None:
+        raise ValueError(f"unknown sampler_type {sampler_type}")
+    kwargs = {}
+    if fn in (sample_dpmpp_2s_ancestral, sample_dpmpp_2m_sde, sample_dpmpp_3m_sde):
+        if key is None:
+            raise ValueError(f"{sampler_type} is stochastic and needs a PRNG key")
+        return fn(
+            denoise, x, sigmas, key, eta=eta, s_noise=s_noise, pre_step=pre_step
+        )
+    return fn(denoise, x, sigmas, key=key, pre_step=pre_step, **kwargs)

@@ -142,6 +142,17 @@ def sample_v_ddim(
     return x
 
 
+def get_bmask(i, steps, mask):
+    """Shrinking binary mask (reference sampling.py:295-299): 1 where the
+    soft mask value has been *reached* by the schedule — those positions are
+    re-pinned to the noised input; positions with mask > strength evolve
+    freely. mask: 0 = keep input, 1 = generate (build_mask convention —
+    note the reference's build_mask comment states the opposite of what its
+    own callback computes; the code is the spec)."""
+    strength = (i + 1.0) / steps
+    return jnp.where(mask <= strength, 1.0, 0.0)
+
+
 def sample_discrete_euler_inpaint(
     model_fn: Callable,
     x: jax.Array,
@@ -151,13 +162,19 @@ def sample_discrete_euler_inpaint(
     steps: int = 100,
     sigma_max: float = 1.0,
 ) -> jax.Array:
-    """RF Euler with the reference's inpainting callback semantics
-    (sampling.py get_bmask:295-299 + inpainting_callback:370-383):
+    """RF Euler with the reference's inpainting-callback semantics
+    (sampling.py get_bmask:295-299 + inpainting_callback:370-383), which
+    the reference only wires for v-objective checkpoints — this extends it
+    to the RF path:
 
-    before each step i, re-impose the known region as init + noise·t and
-    blend by the *shrinking* binary mask bmask = (mask ≤ (i+1)/steps) —
-    soft-mask values (marination) release progressively over the
-    trajectory. mask: 1 = generate, 0 = keep.
+    before each model evaluation, re-impose the *known* region as
+    init + noise·σ via the shrinking binary mask: where bmask = 1
+    (mask value ≤ schedule strength — the keep region, mask = 0, from the
+    first step) x is pinned to the noised input; the generate region
+    (mask = 1) is released for the whole trajectory. Soft boundary values
+    pin progressively. A final hard paste makes the keep region bit-exact.
+
+    mask: 1 = generate, 0 = keep.
     """
     ts = t_schedule_rf(steps, sigma_max)
     pairs = jnp.stack(
@@ -169,10 +186,9 @@ def sample_discrete_euler_inpaint(
         in_dtype = x.dtype
         t_curr, t_prev, i = tt[0], tt[1], tt[2]
         key, sub = jax.random.split(key)
-        strength = (i + 1.0) / steps
-        bmask = jnp.where(mask <= strength, 1.0, 0.0)
+        bmask = get_bmask(i, steps, mask)
         noised = init_latent + jax.random.normal(sub, x.shape, x.dtype) * t_curr
-        x = bmask * x + (1.0 - bmask) * noised
+        x = bmask * noised + (1.0 - bmask) * x
         v = model_fn(x, jnp.broadcast_to(t_curr, (x.shape[0],)))
         x = (x + (t_prev - t_curr) * v).astype(in_dtype)
         return (x, key), None

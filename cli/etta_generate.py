@@ -35,7 +35,17 @@ def main(argv=None):
     p.add_argument("--vae_checkpoint", default=None)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--cfg_scale", type=float, default=3.5)
-    p.add_argument("--sampler_type", choices=["euler", "heun", "v-ddim"], default="euler")
+    p.add_argument(
+        "--sampler_type",
+        choices=[
+            "euler", "heun", "v-ddim",  # rectified-flow / v-DDIM paths
+            # k-diffusion family (v-objective checkpoints)
+            "k-euler", "k-heun", "k-dpmpp-2s-ancestral", "k-dpm-2",
+            "dpm-fast", "dpm-adaptive", "dpmpp-2m", "dpmpp-2m-sde",
+            "dpmpp-3m-sde",
+        ],
+        default="euler",
+    )
     p.add_argument("--seconds_total", type=float, default=10.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)

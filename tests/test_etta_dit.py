@@ -169,6 +169,80 @@ def test_inpaint_sampler_keeps_known():
     )
     known = np.asarray(mask) == 0
     np.testing.assert_allclose(np.asarray(out)[known], np.asarray(init)[known], atol=1e-6)
+    # the generate region must follow the oracle trajectory to x0 — it is
+    # released from step 0 (polarity check: a flipped bmask pins it to the
+    # noised init instead)
+    gen = ~known
+    np.testing.assert_allclose(np.asarray(out)[gen], np.asarray(x0)[gen], atol=0.05)
+
+
+def test_build_mask_and_generation_inpaint_dispatch():
+    from audio_intelligence_tpu.models.etta.generation import (
+        GenerationConfig,
+        build_mask,
+        cut_paste,
+        generate_diffusion_cond,
+    )
+
+    m = build_mask(100, {"maskstart": 20, "maskend": 60, "softnessL": 10,
+                         "softnessR": 10, "marination": 0.0})
+    assert m.shape == (100,)
+    assert m[:20].sum() == 0 and (m[30:50] == 1).all() and m[60:].sum() == 0
+    assert 0 < m[25] < 1 and 0 < m[55] < 1  # hann ramps
+    m2 = build_mask(100, {"maskstart": 20, "maskend": 60, "softnessL": 0,
+                          "softnessR": 0, "marination": 0.2})
+    assert np.isclose(m2[40], 0.8)
+
+    # cut_paste moves a segment onto a zero canvas
+    lat = jnp.asarray(np.arange(32, dtype=np.float32).reshape(1, 16, 2))
+    cp = cut_paste(lat, 16, {"cropfrom": 0, "pastefrom": 50, "pasteto": 100})
+    assert np.asarray(cp)[0, :8].sum() == 0
+    np.testing.assert_allclose(np.asarray(cp)[0, 8:], np.asarray(lat)[0, :8])
+
+    # end-to-end dispatch: RF-euler inpaint and a k-sampler, oracle model
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
+
+    def dit_apply(x, t, c, cm, g, **kw):
+        tt = t.reshape(-1, 1, 1)
+        return (x - x0) / jnp.maximum(tt, 1e-6)
+
+    cfg = GenerationConfig(
+        steps=20, cfg_scale=1.0, sample_size=64, downsampling_ratio=4,
+        latent_dim=4,
+    )
+    init = jnp.asarray(rng.standard_normal((1, 16, 4)), jnp.float32)
+    mask = jnp.asarray(build_mask(16, {"maskstart": 25, "maskend": 75,
+                                       "softnessL": 0, "softnessR": 0,
+                                       "marination": 0.0}))
+    out = generate_diffusion_cond(
+        dit_apply, lambda z: z, jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, 8)), jnp.ones((1, 1), bool), jnp.zeros((1, 8)),
+        cfg, init_latent=init, mask=mask,
+    )
+    keep = np.asarray(mask) == 0
+    np.testing.assert_allclose(
+        np.asarray(out)[0][keep], np.asarray(init)[0][keep], atol=1e-6
+    )
+
+    # k-sampler path runs and lands on the oracle's x0 (v-objective oracle)
+    def v_dit_apply(x, t, c, cm, g, **kw):
+        tt = t.reshape(-1, 1, 1)
+        alpha = jnp.cos(tt * jnp.pi / 2)
+        sigma = jnp.sin(tt * jnp.pi / 2)
+        eps = (x - alpha * x0) / jnp.maximum(sigma, 1e-6)
+        return alpha * eps - sigma * x0
+
+    cfg_k = GenerationConfig(
+        steps=30, cfg_scale=1.0, sampler_type="dpmpp-2m", sample_size=64,
+        downsampling_ratio=4, latent_dim=4,
+    )
+    out_k = generate_diffusion_cond(
+        v_dit_apply, lambda z: z, jax.random.PRNGKey(0),
+        jnp.zeros((1, 1, 8)), jnp.ones((1, 1), bool), jnp.zeros((1, 8)),
+        cfg_k,
+    )
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(x0), atol=0.05)
 
 
 def test_multiconditioner_and_routing():
