@@ -191,6 +191,76 @@ def make_etta_generate_fn(model_scale: str = "small"):
     return generate
 
 
+def make_etta_inpaint_fn(model_scale: str = "small"):
+    """Inpainting callback (reference create_sampling_ui inpainting
+    accordion, gradio.py:398-460): init wav + mask %s → regenerate the
+    masked region. Reuses the CLI wiring; random weights in smoke mode."""
+
+    def inpaint(path: str, prompt: str, steps: int, maskstart: float,
+                maskend: float, softness: float, marination: float):
+        import os
+        import tempfile
+
+        from cli.etta_generate import main as etta_main
+
+        out_dir = tempfile.mkdtemp()
+        etta_main(
+            [
+                "--text_prompt", prompt or "inpaint", "--steps", str(int(steps)),
+                "--output_dir", out_dir, "--model_scale", model_scale,
+                "--init_audio", path, "--seconds_total", "2.0",
+                "--batch_size", "1",
+                "--maskstart", str(maskstart), "--maskend", str(maskend),
+                "--softnessL", str(softness), "--softnessR", str(softness),
+                "--marination", str(marination),
+            ]
+        )
+        with open(os.path.join(out_dir, "sample_0000.wav"), "rb") as f:
+            return f.read(), "audio/wav"
+
+    return inpaint
+
+
+def make_lm_fn():
+    """Audio-LM tab callback (reference create_lm_ui, gradio.py:621-731):
+    sample delay-interleaved codes from the ETTA audio LM and decode via a
+    random-weight codec in smoke mode."""
+
+    def run(seconds: float, temperature: float, top_k: int):
+        import numpy as np
+        import jax, jax.numpy as jnp
+
+        from audio_intelligence_tpu.models.etta.lm import (
+            AudioLanguageModel,
+            generate,
+        )
+        from audio_intelligence_tpu.models.ualm.interleave import (
+            delay_deinterleave,
+        )
+
+        n_q, k = 4, 64
+        frame_rate, sr = 50, 16000
+        lm = AudioLanguageModel(
+            num_quantizers=n_q, codebook_size=k, dim=64, depth=2, heads=4
+        )
+        gen_len = max(int(seconds * frame_rate), n_q + 1)
+        seed = jnp.full((1, 1, n_q), k, jnp.int32)
+        params = lm.init(jax.random.PRNGKey(0), seed)["params"]
+        codes = generate(
+            lambda p, c: lm.apply({"params": p}, c),
+            params, jax.random.PRNGKey(1), batch=1, gen_len=gen_len,
+            num_quantizers=n_q, codebook_size=k,
+            temperature=float(temperature), top_k=int(top_k),
+        )
+        codes = delay_deinterleave(np.asarray(codes))
+        codes = np.clip(codes, 0, k - 1)
+        # smoke codec: map code indices to a waveform deterministicly
+        t = np.repeat(codes.mean(-1)[0] / k * 2 - 1, sr // frame_rate)
+        return wav_bytes(t.astype(np.float32)[None], sr), "audio/wav"
+
+    return run
+
+
 def make_autoencoder_fn():
     """VAE roundtrip callback (reference create_autoencoder_ui:681):
     wav path → encode → decode → wav bytes. Random weights in smoke mode."""
@@ -263,10 +333,12 @@ def make_stereoize_fn():
 def create_ui(generate_fn: Callable, port: int = 7860,
               autoencode_fn: Optional[Callable] = None,
               stereoize_fn: Optional[Callable] = None,
-              host: str = "127.0.0.1"):
+              host: str = "127.0.0.1",
+              inpaint_fn: Optional[Callable] = None,
+              lm_fn: Optional[Callable] = None):
     """gradio when available, stdlib server otherwise (reference create_ui
-    tab structure: txt2audio / autoencoder / diffusion prior,
-    gradio.py:621-731)."""
+    tab structure: txt2audio / inpainting / autoencoder / diffusion prior /
+    LM, gradio.py:398-460, 621-731)."""
     try:
         import gradio as gr
 
@@ -298,6 +370,32 @@ def create_ui(generate_fn: Callable, port: int = 7860,
                     gr.Button("Stereoize").click(
                         lambda p: stereoize_fn(p)[0], [path_in2], audio_out2
                     )
+            if inpaint_fn is not None:
+                with gr.Tab("Inpainting"):
+                    ip_path = gr.Textbox(label="init wav path")
+                    ip_prompt = gr.Textbox(label="prompt")
+                    ip_steps = gr.Slider(4, 250, 100, label="steps")
+                    ip_start = gr.Slider(0, 100, 25, label="mask start %")
+                    ip_end = gr.Slider(0, 100, 75, label="mask end %")
+                    ip_soft = gr.Slider(0, 30, 5, label="softness %")
+                    ip_marin = gr.Slider(0, 0.9, 0.0, label="marination")
+                    ip_out = gr.Audio(label="inpainted")
+                    gr.Button("Inpaint").click(
+                        lambda *a: inpaint_fn(*a)[0],
+                        [ip_path, ip_prompt, ip_steps, ip_start, ip_end,
+                         ip_soft, ip_marin],
+                        ip_out,
+                    )
+            if lm_fn is not None:
+                with gr.Tab("Audio LM"):
+                    lm_secs = gr.Slider(0.5, 10, 2, label="seconds")
+                    lm_temp = gr.Slider(0.1, 2.0, 1.0, label="temperature")
+                    lm_topk = gr.Slider(1, 250, 50, step=1, label="top-k")
+                    lm_out = gr.Audio(label="sampled audio")
+                    gr.Button("Sample").click(
+                        lambda s, t, k: lm_fn(s, t, k)[0],
+                        [lm_secs, lm_temp, lm_topk], lm_out,
+                    )
         return demo
     except ImportError:
         return DemoServer(generate_fn, port, autoencode_fn=autoencode_fn,
@@ -315,6 +413,8 @@ def main(argv=None):
         make_etta_generate_fn(args.model_scale), args.port,
         autoencode_fn=make_autoencoder_fn(), stereoize_fn=make_stereoize_fn(),
         host=args.host,
+        inpaint_fn=make_etta_inpaint_fn(args.model_scale),
+        lm_fn=make_lm_fn(),
     )
     if isinstance(ui, DemoServer):
         ui.serve_forever()

@@ -99,6 +99,7 @@ def create_dit_from_config(diff_cfg: dict) -> DiffusionTransformer:
         xattn_d_memory=xattn.get("d_heads", 768),
         apply_norm_to_cond=d.get("apply_norm_to_cond", True),
         qknorm=d.get("qknorm"),
+        input_concat_dim=d.get("input_concat_dim", 0),
     )
 
 
@@ -142,8 +143,34 @@ def create_model_from_config(config: dict) -> dict[str, Any]:
                 config["training"]["loss_configs"],
                 model_cfg.get("io_channels", 2),
             )
-    elif model_type in ("diffusion_cond", "diffusion_uncond"):
-        out["diffusion"] = create_dit_from_config(model_cfg["diffusion"])
+    elif model_type in (
+        "diffusion_cond",
+        "diffusion_uncond",
+        "diffusion_cond_inpaint",
+        "diffusion_prior",
+    ):
+        dcfg = model_cfg["diffusion"]
+        if model_type == "diffusion_cond_inpaint":
+            # inpaint conditioning rides input-concat channels
+            # [masked_input ‖ mask] (training/diffusion.py:1205-1207)
+            io = dcfg["config"].get("io_channels", 64)
+            dcfg = dict(dcfg)
+            dcfg["config"] = dict(
+                dcfg["config"], input_concat_dim=dcfg["config"].get(
+                    "input_concat_dim", io + 1
+                )
+            )
+        elif model_type == "diffusion_prior":
+            # source (e.g. mono) latents as input-concat
+            # (diffusion_prior.py:17-25, MonoToStereoDiffusionPrior)
+            io = dcfg["config"].get("io_channels", 64)
+            dcfg = dict(dcfg)
+            dcfg["config"] = dict(
+                dcfg["config"], input_concat_dim=dcfg["config"].get(
+                    "input_concat_dim", io
+                )
+            )
+        out["diffusion"] = create_dit_from_config(dcfg)
         out["diffusion_objective"] = model_cfg["diffusion"].get(
             "diffusion_objective", "rectified_flow"
         )
@@ -157,6 +184,48 @@ def create_model_from_config(config: dict) -> dict[str, Any]:
         out["global_cond_ids"] = model_cfg.get(
             "global_cond_ids", ["seconds_start", "seconds_total"]
         )
+    elif model_type == "diffusion_autoencoder":
+        from audio_intelligence_tpu.models.etta.diffusion_autoencoder import (
+            DiffusionAutoencoder,
+        )
+
+        enc_cfg = model_cfg["encoder"]["config"]
+        latent_dim = model_cfg.get("latent_dim", enc_cfg.get("latent_dim", 32))
+        encoder = OobleckEncoder(
+            in_channels=enc_cfg.get("in_channels", model_cfg.get("io_channels", 2)),
+            channels=enc_cfg.get("channels", 128),
+            latent_dim=latent_dim,
+            c_mults=tuple(enc_cfg.get("c_mults", (1, 2, 4, 8))),
+            strides=tuple(enc_cfg.get("strides", (2, 4, 4, 8))),
+        )
+        dcfg = dict(model_cfg["diffusion"])
+        dcfg["config"] = dict(
+            dcfg["config"],
+            input_concat_dim=dcfg["config"].get("input_concat_dim", latent_dim),
+        )
+        out["diffusion_autoencoder"] = DiffusionAutoencoder(
+            encoder=encoder,
+            diffusion=create_dit_from_config(dcfg),
+            latent_dim=latent_dim,
+            downsampling_ratio=model_cfg.get("downsampling_ratio", 2048),
+            io_channels=model_cfg.get("io_channels", 2),
+        )
+    elif model_type == "lm":
+        from audio_intelligence_tpu.models.etta.lm import AudioLanguageModel
+
+        lm_cfg = model_cfg.get("lm", {}).get("config", {})
+        out["lm"] = AudioLanguageModel(
+            num_quantizers=lm_cfg.get("num_quantizers", 8),
+            codebook_size=lm_cfg.get("codebook_size", 1024),
+            dim=lm_cfg.get("dim", 512),
+            depth=lm_cfg.get("depth", 8),
+            heads=lm_cfg.get("heads", 8),
+        )
+        out["codebook_pattern"] = model_cfg.get("codebook_pattern", "delay")
+        if "pretransform" in model_cfg:
+            out["pretransform"] = create_autoencoder_from_config(
+                model_cfg["pretransform"]["config"]
+            )
     else:
         raise ValueError(f"unknown model_type {model_type}")
     return out
@@ -212,26 +281,126 @@ def create_training_wrapper_from_config(
             "gan_type": gan_type, "step_is_disc": T.vae_step_is_disc,
         }
 
-    if model_type in ("diffusion_cond", "diffusion_uncond"):
+    if model_type in (
+        "diffusion_cond",
+        "diffusion_uncond",
+        "diffusion_cond_inpaint",
+        "diffusion_prior",
+    ):
         dit = modules["diffusion"]
         dcfg = model_cfg["diffusion"]["config"]
         io = dcfg.get("io_channels", 64)
         t_len = sample_size // config.get("downsampling_ratio", 2048)
+        objective = modules.get("diffusion_objective", "rectified_flow")
         x0 = jnp.zeros((batch_size, t_len, io))
         cond0 = jnp.zeros((batch_size, 1, dcfg.get("cond_token_dim", 768)))
         gcond0 = jnp.zeros((batch_size, dcfg.get("global_cond_dim", 1536)))
+        init_kwargs = {}
+        concat_dim = getattr(dit, "input_concat_dim", 0)
+        if concat_dim:
+            init_kwargs["input_concat_cond"] = jnp.zeros(
+                (batch_size, t_len, concat_dim)
+            )
         params = dit.init(
             jax.random.PRNGKey(seed), x0, jnp.zeros((batch_size,)),
-            cond0, jnp.ones((batch_size, 1), bool), gcond0,
+            cond0, jnp.ones((batch_size, 1), bool), gcond0, **init_kwargs,
         )["params"]
         tx = T.make_diffusion_optimizer()
         state = T.DiffusionTrainState(
             params, params, tx.init(params), jnp.zeros((), jnp.int32)
         )
-        train_step = T.make_diffusion_train_step(
-            dit.apply, tx,
-            cfg_dropout_prob=tr.get("cfg_dropout_prob", 0.1),
+        if model_type == "diffusion_cond_inpaint":
+            train_step = T.make_inpaint_train_step(
+                dit.apply, tx,
+                mask_type=tr.get("mask_type", "random_mask"),
+                objective=objective,
+                timestep_sampler=tr.get("timestep_sampler", "uniform"),
+                cfg_dropout_prob=tr.get("cfg_dropout_prob", 0.1),
+            )
+        else:
+            train_step = T.make_diffusion_train_step(
+                dit.apply, tx,
+                cfg_dropout_prob=tr.get("cfg_dropout_prob", 0.1),
+                objective=objective,
+                timestep_sampler=tr.get("timestep_sampler", "logit_normal"),
+            )
+        return {"train_step": train_step, "state": state}
+
+    if model_type == "diffusion_autoencoder":
+        from audio_intelligence_tpu.models.etta.diffusion_autoencoder import (
+            dae_rf_loss,
         )
+        import optax
+
+        dae = modules["diffusion_autoencoder"]
+        io = model_cfg.get("io_channels", 2)
+        audio0 = jnp.zeros((batch_size, sample_size, io))
+        variables = dae.init(
+            jax.random.PRNGKey(seed), audio0, jnp.full((batch_size,), 0.5)
+        )
+        params = variables["params"]
+        tx = T.make_diffusion_optimizer()
+        state = T.DiffusionTrainState(
+            params, params, tx.init(params), jnp.zeros((), jnp.int32)
+        )
+
+        def train_step(state, key, batch):
+            loss, grads = jax.value_and_grad(
+                lambda p: dae_rf_loss({"params": p}, dae, key, batch["audio"])
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            from audio_intelligence_tpu.train.common import ema_update
+
+            ema = ema_update(state.ema_params, params, state.step)
+            return (
+                T.DiffusionTrainState(params, ema, opt_state, state.step + 1),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)},
+            )
+
+        return {"train_step": train_step, "state": state}
+
+    if model_type == "lm":
+        from audio_intelligence_tpu.models.etta.lm import lm_cross_entropy
+        import optax
+
+        lm = modules["lm"]
+        seq0 = jnp.full(
+            (batch_size, 16, lm.num_quantizers), lm.codebook_size, jnp.int32
+        )
+        params = lm.init(jax.random.PRNGKey(seed), seq0)["params"]
+        tx = T.make_diffusion_optimizer(lr=tr.get("learning_rate", 1e-4))
+        state = T.DiffusionTrainState(
+            params, params, tx.init(params), jnp.zeros((), jnp.int32)
+        )
+
+        def train_step(state, key, batch):
+            codes = batch["codes"]  # [B, S, N] pattern-interleaved
+
+            def loss_fn(p):
+                logits = lm.apply({"params": p}, codes[:, :-1])
+                loss, per_q = lm_cross_entropy(
+                    logits, codes[:, 1:], lm.codebook_size
+                )
+                return loss, per_q
+
+            (loss, per_q), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            from audio_intelligence_tpu.train.common import ema_update
+
+            ema = ema_update(state.ema_params, params, state.step)
+            return (
+                T.DiffusionTrainState(params, ema, opt_state, state.step + 1),
+                {
+                    "loss": loss,
+                    "per_codebook_ce": per_q,
+                    "grad_norm": optax.global_norm(grads),
+                },
+            )
+
         return {"train_step": train_step, "state": state}
 
     raise ValueError(f"no training wrapper for model_type {model_type!r}")

@@ -61,7 +61,44 @@ def make_diffusion_optimizer(
     )
 
 
-def rf_loss(
+def sample_timesteps(
+    key: jax.Array,
+    batch: int,
+    sampler: str = "logit_normal",
+    mean: float = 0.0,
+    std: float = 1.0,
+) -> jax.Array:
+    """t ∈ (0, 1): "uniform" (the reference draws Sobol quasi-random —
+    plain uniform here; the estimator is unbiased either way) or
+    "logit_normal" = sigmoid(N(mean, std)) (training/diffusion.py:407-411).
+    """
+    if sampler == "uniform":
+        return jax.random.uniform(key, (batch,))
+    if sampler == "logit_normal":
+        return logit_normal_sample(key, (batch,), mean, std)
+    raise ValueError(f"unknown timestep_sampler {sampler}")
+
+
+def diffusion_targets(objective: str, latents, noise, t):
+    """(x_t, target) per diffusion objective (training/diffusion.py:414-434):
+
+    rectified_flow: α=1−t, σ=t,               target = ε − x₀
+    v:              α=cos(t·π/2), σ=sin(t·π/2), target = ε·α − x₀·σ
+    """
+    tt = t.reshape((-1,) + (1,) * (latents.ndim - 1))
+    if objective == "rectified_flow":
+        alphas, sigmas = 1.0 - tt, tt
+    elif objective == "v":
+        alphas = jnp.cos(tt * jnp.pi / 2)
+        sigmas = jnp.sin(tt * jnp.pi / 2)
+    else:
+        raise ValueError(f"unknown diffusion objective {objective}")
+    x_t = alphas * latents + sigmas * noise
+    target = noise * alphas - latents * sigmas
+    return x_t, target
+
+
+def diffusion_loss(
     params,
     dit_apply: Callable,
     key: jax.Array,
@@ -70,27 +107,31 @@ def rf_loss(
     cross_attn_mask: jax.Array,
     global_cond: jax.Array,
     cfg_dropout_prob: float = 0.1,
+    timestep_sampler: str = "logit_normal",
     timestep_mean: float = 0.0,
     timestep_std: float = 1.0,
+    objective: str = "rectified_flow",
+    input_concat_cond: jax.Array | None = None,
 ):
-    """Rectified-flow loss (training/diffusion.py:336-510).
+    """Diffusion training loss (training/diffusion.py:336-510) for both
+    the rectified-flow and v objectives.
 
-    x_t = (1−t)·x₀ + t·ε, target v = ε − x₀, t ~ logit-normal.
     CFG dropout zeroes the whole cross-attn cond for a Bernoulli(p) subset
     of the batch (dit.py:295-305 semantics, keyed explicitly).
     """
     b = latents.shape[0]
     k_t, k_noise, k_drop, k_model = jax.random.split(key, 4)
-    t = logit_normal_sample(k_t, (b,), timestep_mean, timestep_std)
+    t = sample_timesteps(k_t, b, timestep_sampler, timestep_mean, timestep_std)
     noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
-    tt = t.reshape(-1, 1, 1)
-    x_t = (1.0 - tt) * latents + tt * noise
-    target = noise - latents
+    x_t, target = diffusion_targets(objective, latents, noise, t)
 
-    if cfg_dropout_prob > 0:
+    if cfg_dropout_prob > 0 and cross_attn_cond is not None:
         drop = jax.random.bernoulli(k_drop, cfg_dropout_prob, (b, 1, 1))
         cross_attn_cond = jnp.where(drop, 0.0, cross_attn_cond)
 
+    kwargs = {}
+    if input_concat_cond is not None:
+        kwargs["input_concat_cond"] = input_concat_cond
     pred = dit_apply(
         {"params": params},
         x_t,
@@ -100,8 +141,13 @@ def rf_loss(
         global_cond,
         deterministic=False,
         rngs={"dropout": k_model},
+        **kwargs,
     )
     return jnp.mean((pred - target) ** 2)
+
+
+# backwards-compatible alias (rectified-flow defaults)
+rf_loss = diffusion_loss
 
 
 def per_sigma_loss_buckets(
@@ -116,9 +162,15 @@ def per_sigma_loss_buckets(
     return sums / jnp.maximum(counts, 1.0)
 
 
-def make_diffusion_train_step(dit_apply: Callable, tx, cfg_dropout_prob: float = 0.1):
+def make_diffusion_train_step(
+    dit_apply: Callable,
+    tx,
+    cfg_dropout_prob: float = 0.1,
+    objective: str = "rectified_flow",
+    timestep_sampler: str = "logit_normal",
+):
     def step(state: DiffusionTrainState, key, batch):
-        loss, grads = jax.value_and_grad(rf_loss)(
+        loss, grads = jax.value_and_grad(diffusion_loss)(
             state.params,
             dit_apply,
             key,
@@ -127,6 +179,73 @@ def make_diffusion_train_step(dit_apply: Callable, tx, cfg_dropout_prob: float =
             batch["cross_attn_mask"],
             batch["global_cond"],
             cfg_dropout_prob=cfg_dropout_prob,
+            objective=objective,
+            timestep_sampler=timestep_sampler,
+            # diffusion_prior source latents ride input-concat
+            input_concat_cond=batch.get("input_concat_cond"),
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema_params, params, state.step)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return DiffusionTrainState(params, ema, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_inpaint_train_step(
+    dit_apply: Callable,
+    tx,
+    mask_type: str = "random_mask",
+    objective: str = "rectified_flow",
+    timestep_sampler: str = "uniform",
+    cfg_dropout_prob: float = 0.1,
+    input_concat_order=("inpaint_masked_input", "inpaint_mask"),
+    mask_kwargs: dict | None = None,
+):
+    """Inpainting diffusion training (DiffusionCondInpaintTrainingWrapper,
+    training/diffusion.py:899-1481): draw a keep-mask (1 = visible) per
+    batch element, condition the model on input-concat channels
+    [masked_input ‖ mask] (order per ``input_concat_order``, matching the
+    reference's config-driven input_concat_ids), and regress the usual
+    objective targets over the FULL sequence. The DiT must be built with
+    input_concat_dim = io_channels + 1.
+    """
+    from audio_intelligence_tpu.models.etta.inpaint_masks import (
+        random_mask,
+        speechflow_mask,
+    )
+
+    mk = mask_kwargs or {}
+
+    def draw_mask(key, b, t):
+        if mask_type == "random_mask":
+            return random_mask(key, b, t, **mk)
+        if mask_type == "speechflow_mask":
+            return speechflow_mask(key, b, t, **mk)
+        raise ValueError(f"unknown mask_type {mask_type}")
+
+    def step(state: DiffusionTrainState, key, batch):
+        latents = batch["latents"]
+        b, t_len = latents.shape[0], latents.shape[1]
+        k_mask, k_loss = jax.random.split(key)
+        mask = draw_mask(k_mask, b, t_len)[..., None]  # [B, T, 1]
+        masked_input = latents * mask
+        parts = {"inpaint_masked_input": masked_input, "inpaint_mask": mask}
+        concat = jnp.concatenate([parts[k] for k in input_concat_order], axis=-1)
+
+        loss, grads = jax.value_and_grad(diffusion_loss)(
+            state.params,
+            dit_apply,
+            k_loss,
+            latents,
+            batch.get("cross_attn_cond"),
+            batch.get("cross_attn_mask"),
+            batch.get("global_cond"),
+            cfg_dropout_prob=cfg_dropout_prob,
+            objective=objective,
+            timestep_sampler=timestep_sampler,
+            input_concat_cond=concat,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -84,3 +84,34 @@ def coarse_first_unpattern(codes, n_streams: int) -> np.ndarray:
     t = codes.shape[1] // 2
     outs = [codes[:, :t, 0]] + [codes[:, t : 2 * t, s] for s in range(1, n_streams)]
     return np.stack(outs, axis=-1)
+
+
+def musiclm_pattern(codes, stream_pad_ids, group_by: int = 2) -> np.ndarray:
+    """MusicLMPattern (ETTA codebook_patterns.py:529-545): full flattening
+    in grouped order — for each group of ``group_by`` codebooks, all T
+    frames are emitted (one coordinate per step) before the next group.
+    [B, T, N] → [B, T·N, N]; step g·(T·G) + t·G + j carries stream
+    (g·G + j)'s frame t in its own column, others padded."""
+    codes = np.asarray(codes)
+    b, t, n = codes.shape
+    assert n % group_by == 0, "n_streams must divide into groups"
+    pads = np.asarray(stream_pad_ids, dtype=codes.dtype)
+    out = np.tile(pads.reshape(1, 1, n), (b, t * n, 1))
+    for g in range(n // group_by):
+        base = g * t * group_by
+        for j in range(group_by):
+            q = g * group_by + j
+            out[:, base + j : base + t * group_by : group_by, q] = codes[:, :, q]
+    return out
+
+
+def musiclm_unpattern(codes, n_streams: int, group_by: int = 2) -> np.ndarray:
+    """Inverse of musiclm_pattern: [B, T·N, N] → [B, T, N]."""
+    codes = np.asarray(codes)
+    t = codes.shape[1] // n_streams
+    outs = []
+    for q in range(n_streams):
+        g, j = q // group_by, q % group_by
+        base = g * t * group_by
+        outs.append(codes[:, base + j : base + t * group_by : group_by, q])
+    return np.stack(outs, axis=-1)

@@ -50,6 +50,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--model_scale", choices=["flagship", "small"], default="small")
+    # audio-to-audio / inpainting (reference generate_cond mask args)
+    p.add_argument("--init_audio", default=None, help="wav for variation/inpainting")
+    p.add_argument("--init_noise_level", type=float, default=1.0)
+    p.add_argument("--vae_encoder_checkpoint", default=None)
+    p.add_argument("--maskstart", type=float, default=None, help="%% of clip")
+    p.add_argument("--maskend", type=float, default=None)
+    p.add_argument("--softnessL", type=float, default=0.0)
+    p.add_argument("--softnessR", type=float, default=0.0)
+    p.add_argument("--marination", type=float, default=0.0)
     args = p.parse_args(argv)
 
     prompts = []
@@ -75,10 +84,11 @@ def main(argv=None):
     from audio_intelligence_tpu.models.etta.dit import DiffusionTransformer
     from audio_intelligence_tpu.models.etta.generation import (
         GenerationConfig,
+        build_mask,
         generate_diffusion_cond,
         peak_normalize,
     )
-    from audio_intelligence_tpu.models.etta.vae import OobleckDecoder
+    from audio_intelligence_tpu.models.etta.vae import OobleckDecoder, OobleckEncoder
 
     sr = 44100
     if args.model_scale == "flagship":
@@ -111,6 +121,50 @@ def main(argv=None):
     mc = MultiConditioner(number_dim=num_dim, text_ids=("prompt",))
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- variation / inpainting inputs (generation.py:191-247) ---
+    init_latent = None
+    inpaint_mask = None
+    latent_len = cfg.sample_size // cfg.downsampling_ratio
+    if args.init_audio:
+        from audio_intelligence_tpu.data.audio_io import read_wav
+        from audio_intelligence_tpu.ops.resample import resample
+
+        wav_ct, in_sr = read_wav(args.init_audio)  # [C, T]
+        if in_sr != sr:
+            wav_ct = np.asarray(resample(jnp.asarray(wav_ct), in_sr, sr))
+        wav = np.asarray(wav_ct, np.float32).T  # [T, C]
+        if wav.shape[1] == 1:
+            wav = np.repeat(wav, 2, axis=1)
+        wav = wav[: cfg.sample_size]
+        if wav.shape[0] < cfg.sample_size:
+            wav = np.pad(wav, ((0, cfg.sample_size - wav.shape[0]), (0, 0)))
+        if args.model_scale == "flagship":
+            enc = OobleckEncoder()
+        else:
+            enc = OobleckEncoder(
+                in_channels=2, channels=16, latent_dim=2 * cfg.latent_dim,
+                c_mults=(1, 2, 4), strides=(4, 4, 4),
+            )
+        enc_params = enc.init(jax.random.PRNGKey(3), jnp.zeros((1, 4096, 2)))
+        if args.vae_encoder_checkpoint:
+            from audio_intelligence_tpu.train.checkpoint import load_exported_weights
+
+            enc_params = load_exported_weights(enc_params, args.vae_encoder_checkpoint)
+        else:
+            print("WARNING: encoding init audio with random encoder weights")
+        moments = enc.apply(enc_params, jnp.asarray(wav)[None])
+        init_latent = moments[..., : cfg.latent_dim]  # VAE mean half
+        if args.maskstart is not None:
+            inpaint_mask = jnp.asarray(
+                build_mask(latent_len, {
+                    "maskstart": args.maskstart,
+                    "maskend": args.maskend if args.maskend is not None else 100.0,
+                    "softnessL": args.softnessL,
+                    "softnessR": args.softnessR,
+                    "marination": args.marination,
+                })
+            )
 
     key = jax.random.PRNGKey(args.seed)
     init_done = False
@@ -150,10 +204,18 @@ def main(argv=None):
         cond = mc.apply(mc_params, metadata)
         cross, cross_mask, g = route_conditioning(cond)
         key, sub = jax.random.split(key)
+        il = (
+            jnp.broadcast_to(init_latent, (len(chunk),) + init_latent.shape[1:])
+            if init_latent is not None
+            else None
+        )
         audio = generate_diffusion_cond(
             lambda x, t, c, m, gc, **kw: dit.apply(dit_params, x, t, c, m, gc),
             lambda z: dec.apply(dec_params, z),
             sub, cross, cross_mask, g, cfg,
+            init_latent=il,
+            init_noise_level=args.init_noise_level,
+            mask=inpaint_mask,
         )
         audio = np.asarray(peak_normalize(audio))
         for j, prompt in enumerate(chunk):
