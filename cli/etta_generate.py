@@ -50,6 +50,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--model_scale", choices=["flagship", "small"], default="small")
+    p.add_argument(
+        "--text_encoder", choices=["auto", "hash", "t5-host", "t5-flax"],
+        default="auto",
+        help="auto: t5-flax when --t5_checkpoint is given, else t5-host "
+        "when a DiT checkpoint is supplied (HF cache required), else hash",
+    )
+    p.add_argument("--t5_checkpoint", default=None,
+                   help="converted flax T5 encoder params (msgpack; "
+                   "tools/convert_checkpoint.py --kind t5_encoder)")
     # audio-to-audio / inpainting (reference generate_cond mask args)
     p.add_argument("--init_audio", default=None, help="wav for variation/inpainting")
     p.add_argument("--init_noise_level", type=float, default=1.0)
@@ -166,11 +175,65 @@ def main(argv=None):
                 })
             )
 
+    # --- text encoder selection (conditioners.py:241-326 is T5-base) ---
+    mode = args.text_encoder
+    if mode == "auto":
+        if args.t5_checkpoint:
+            mode = "t5-flax"
+        elif args.checkpoint:
+            mode = "t5-host"
+        else:
+            mode = "hash"
+
+    def embed_texts(texts):
+        if mode == "t5-flax":
+            from flax import serialization
+
+            from audio_intelligence_tpu.models.etta.t5 import (
+                T5Config,
+                T5Encoder,
+                t5_tokenize_host,
+            )
+
+            enc = T5Encoder(T5Config.base())
+            with open(args.t5_checkpoint, "rb") as f:
+                variables = serialization.from_bytes(None, f.read())
+            ids, m = t5_tokenize_host(texts, max_length=128)
+            out = enc.apply(
+                {"params": variables["params"]}, jnp.asarray(ids), jnp.asarray(m)
+            )
+            return np.asarray(out), m
+        if mode == "t5-host":
+            from audio_intelligence_tpu.models.etta.conditioners import (
+                t5_embed_host,
+            )
+
+            return t5_embed_host(texts, max_length=128)
+        return hash_text_embedding(texts, dim=cond_dim, max_length=64)
+
+    if mode == "hash" and args.checkpoint:
+        print(
+            "WARNING: generating from a real checkpoint with HASH text "
+            "embeddings — outputs cannot match the reference. Supply "
+            "--t5_checkpoint (converted T5) or ensure the HF T5 cache "
+            "exists for --text_encoder t5-host."
+        )
+    if mode != "hash" and cond_dim != 768:
+        p.error("T5 encoders produce 768-d embeddings (flagship scale only)")
+
     key = jax.random.PRNGKey(args.seed)
     init_done = False
     for i in range(0, len(prompts), args.batch_size):
         chunk = prompts[i : i + args.batch_size]
-        emb, mask = hash_text_embedding(chunk, dim=cond_dim, max_length=64)
+        try:
+            emb, mask = embed_texts(chunk)
+        except Exception as e:
+            print(
+                f"WARNING: {mode} text encoder unavailable ({e}); falling "
+                "back to hash embeddings — outputs cannot match the reference."
+            )
+            mode = "hash"
+            emb, mask = embed_texts(chunk)
         metadata = {
             "prompt_embed": jnp.asarray(emb),
             "prompt_mask": jnp.asarray(mask),

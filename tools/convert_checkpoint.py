@@ -256,7 +256,14 @@ def convert_etta_dit(
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--kind", choices=["a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit"], required=True)
+    p.add_argument(
+        "--kind",
+        choices=[
+            "a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit",
+            "t5_encoder",
+        ],
+        required=True,
+    )
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -295,6 +302,17 @@ def main(argv=None):
         params = convert_oobleck(sd, args.n_blocks, decoder=False)
     elif args.kind == "etta_dit":
         params = convert_etta_dit(sd, depth=args.depth)
+    elif args.kind == "t5_encoder":
+        # HF T5EncoderModel (ETTA conditioners.py:241-326 T5Conditioner's
+        # frozen encoder) → flax T5Encoder; config inferred from shapes
+        from audio_intelligence_tpu.models.etta.t5 import (
+            convert_hf_t5_encoder,
+            infer_t5_config,
+        )
+
+        cfg = infer_t5_config(sd)
+        print(f"inferred {cfg}")
+        params = convert_hf_t5_encoder(sd, cfg)
     else:
         params = convert_oobleck(sd, args.n_blocks, decoder=True)
 
