@@ -260,10 +260,18 @@ def main(argv=None):
         "--kind",
         choices=[
             "a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit",
-            "t5_encoder",
+            "t5_encoder", "ualm_backbone",
         ],
         required=True,
     )
+    p.add_argument("--num_heads", type=int, default=12,
+                   help="ualm_backbone: attention heads (Qwen2.5-1.5B: 12)")
+    p.add_argument("--unified_vocab", type=int, default=165536,
+                   help="ualm_backbone: unified multimodal vocab size")
+    p.add_argument("--text_start", type=int, default=256,
+                   help="ualm_backbone: start of the text interval "
+                   "(UALMJobTemplate reserves 256 special tokens first)")
+    p.add_argument("--num_stream", type=int, default=8)
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -313,6 +321,28 @@ def main(argv=None):
         cfg = infer_t5_config(sd)
         print(f"inferred {cfg}")
         params = convert_hf_t5_encoder(sd, cfg)
+    elif args.kind == "ualm_backbone":
+        # HF Qwen2 → ParallelLM with the unified-vocab embed/lm_head
+        # rebuild (UALM parallel.py:51-174); fresh init provides the
+        # from-scratch rows/streams, then pretrained weights overwrite
+        import jax
+        import jax.numpy as jnp
+
+        from audio_intelligence_tpu.models.ualm.convert import (
+            convert_qwen2_to_parallel_lm,
+            infer_qwen2_config,
+        )
+        from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+
+        cfg = infer_qwen2_config(sd, num_heads=args.num_heads)
+        print(f"inferred {cfg}")
+        model = ParallelLM(
+            cfg=cfg, vocab_size=args.unified_vocab, num_stream=args.num_stream
+        )
+        init = model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 2, args.num_stream), jnp.int32)
+        )["params"]
+        params = convert_qwen2_to_parallel_lm(sd, init, args.text_start)
     else:
         params = convert_oobleck(sd, args.n_blocks, decoder=True)
 
