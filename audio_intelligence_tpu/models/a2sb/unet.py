@@ -35,6 +35,55 @@ import numpy as np
 import flax.linen as nn
 
 from audio_intelligence_tpu.ops.rotary import axial_pixel_freqs_np, apply_rotary
+from audio_intelligence_tpu.ops.quant import quant_conv2d
+
+
+class QConv(nn.Module):
+    """nn.Conv-compatible 2-D conv with an int8 fast path.
+
+    Parameter names/shapes ("kernel" HWIO, "bias") match ``nn.Conv`` so
+    bf16 checkpoints are interchangeable between impls. impl="int8" runs
+    the symmetric-quantized MXU path (ops/quant.py) — v5e executes int8
+    at 2× bf16 throughput, which is the difference between the ~3.9×
+    real-time bf16 roofline and the ≥5× target on the restore bench.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: int | str | tuple = 1
+    use_bias: bool = True
+    kernel_init: any = nn.initializers.lecun_normal()
+    bias_init: any = nn.initializers.zeros
+    impl: str = "bf16"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features)
+        )
+        bias = (
+            self.param("bias", self.bias_init, (self.features,))
+            if self.use_bias
+            else None
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        if self.impl == "int8":
+            return quant_conv2d(
+                x, kernel.astype(x.dtype), bias, self.strides, pad
+            )
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), self.strides, pad, dimension_numbers=dn
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 def sinusoidal_temporal_embedding(
@@ -162,11 +211,13 @@ class ResBlock(nn.Module):
     channels: int
     band_dim: int
     p_dropout: float = 0.1
+    conv_impl: str = "bf16"
 
     @nn.compact
     def __call__(self, x, t_emb, band_emb, deterministic: bool = True):
         h = GroupNorm32()(x)
-        h = nn.Conv(self.channels, (3, 3), padding=1, name="in_conv")(jax.nn.silu(h))
+        h = QConv(self.channels, (3, 3), padding=1, impl=self.conv_impl,
+                  name="in_conv")(jax.nn.silu(h))
         ss = ScaleShiftEmbed(self.channels, self.band_dim, name="emb_proj")(
             t_emb, band_emb
         )
@@ -174,12 +225,13 @@ class ResBlock(nn.Module):
         h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
         h = jax.nn.silu(h)
         h = nn.Dropout(self.p_dropout, deterministic=deterministic)(h)
-        h = nn.Conv(
+        h = QConv(
             self.channels,
             (3, 3),
             padding=1,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            impl=self.conv_impl,
             name="out_conv",
         )(h)
         return x + h
@@ -270,6 +322,9 @@ class AttnUNetF(nn.Module):
     p_dropout: float = 0.1
     rotary_dim: int = 32
     use_flash: bool = False
+    # "bf16" (exact) or "int8" (2× MXU rate, ~0.5% relative quantization
+    # error — the restore-bench fast path; attention stays bf16)
+    conv_impl: str = "bf16"
 
     def _level_band_emb(self, n_bands, dtype):
         if self.band_embedding_dim == 0:
@@ -293,7 +348,8 @@ class AttnUNetF(nn.Module):
             band = self._level_band_emb(h.shape[1], h.dtype)
             for i in range(self.num_res_blocks):
                 h = ResBlock(
-                    ch, self.band_embedding_dim, self.p_dropout, name=f"{name}_res{i}"
+                    ch, self.band_embedding_dim, self.p_dropout,
+                    conv_impl=self.conv_impl, name=f"{name}_res{i}"
                 )(h, t_emb, band, deterministic)
                 if use_attn:
                     h = RotaryAttention2d(
@@ -305,19 +361,22 @@ class AttnUNetF(nn.Module):
                     )(h)
             return h
 
-        h = nn.Conv(hc[0], (3, 3), padding=1, name="input_projection")(x)
+        h = QConv(hc[0], (3, 3), padding=1, impl=self.conv_impl,
+                  name="input_projection")(x)
 
         skips = []
         for level in range(n):
             h = block_stack(h, hc[level], level in attn, f"enc{level}")
-            h = nn.Conv(
-                hc[level + 1], (3, 3), strides=(2, 2), padding=1, name=f"down{level}"
+            h = QConv(
+                hc[level + 1], (3, 3), strides=(2, 2), padding=1,
+                impl=self.conv_impl, name=f"down{level}"
             )(h)
             skips.append(h)
 
         # middle: res → attn → res at the deepest resolution
         band = self._level_band_emb(h.shape[1], h.dtype)
-        h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout, name="mid_res0")(
+        h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout,
+                     conv_impl=self.conv_impl, name="mid_res0")(
             h, t_emb, band, deterministic
         )
         h = RotaryAttention2d(
@@ -327,7 +386,8 @@ class AttnUNetF(nn.Module):
             use_flash=self.use_flash,
             name="mid_attn",
         )(h)
-        h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout, name="mid_res1")(
+        h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout,
+                     conv_impl=self.conv_impl, name="mid_res1")(
             h, t_emb, band, deterministic
         )
 
@@ -338,10 +398,12 @@ class AttnUNetF(nn.Module):
             # nearest ×2 upsample + conv (A2SB/networks.py:126-155)
             b, hh, ww, cc = h.shape
             h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            h = nn.Conv(hc[n - level - 1], (3, 3), padding=1, name=f"up{level}")(h)
+            h = QConv(hc[n - level - 1], (3, 3), padding=1, impl=self.conv_impl,
+                      name=f"up{level}")(h)
 
         h = GroupNorm32(name="out_norm")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="output_projection")(
+        h = QConv(self.out_channels, (3, 3), padding=1, impl=self.conv_impl,
+                  name="output_projection")(
             jax.nn.silu(h)
         )
         return h

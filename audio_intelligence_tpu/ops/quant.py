@@ -1,0 +1,74 @@
+"""int8 symmetric quantization for conv/dense hot paths.
+
+v5e's MXU doubles throughput at int8 (394 TOPS vs 197 bf16 TFLOPS) — the
+A2SB restore UNet is MXU-bound at bf16 (24 TFLOP/8-window forward ≈
+122 ms minimum per step at peak, PERF.md), so int8 convolution is the
+only route past ~3.9× real-time on a single chip.
+
+Scheme (standard post-training symmetric quantization):
+- weights: per-output-channel scales s_w[c] = max|w[..., c]| / 127,
+  computed at apply time from the bf16 params (checkpoints stay bf16 and
+  fully interchangeable with the bf16 path);
+- activations: dynamic per-tensor scale s_x = max|x| / 127 (one fused
+  reduce over the conv input — the producer fusion already streams it);
+- y = conv_int8(x_q, w_q) · (s_x · s_w[c]) + b, accumulated in int32,
+  rescaled in fp32, returned in the input dtype.
+
+Zero-size guards make zero-initialized kernels (the ResBlock out_conv)
+exact: scale 0 → quantized zeros → exact zero output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def symmetric_scales(w: jax.Array, axis) -> jax.Array:
+    """max|w| / 127 over all axes except ``axis`` (kept). Zero-max guards
+    to 1 so x/s is well-defined (the values are all zero anyway)."""
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
+    m = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=reduce_axes)
+    return jnp.where(m > 0, m / 127.0, 1.0)
+
+
+def quantize_int8(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """round(x / scale) clipped to int8; scale broadcasts."""
+    q = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def quant_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None = None,
+    strides=(1, 1),
+    padding="SAME",
+) -> jax.Array:
+    """int8×int8 NHWC/HWIO convolution with fp32 rescale.
+
+    Drop-in for the bf16 ``nn.Conv`` apply: same operands, same output
+    dtype as ``x``; quantization error ~0.5% relative (gated in
+    tests/test_quant.py and by the int8-vs-bf16 restore LSD in PERF.md).
+    """
+    in_dtype = x.dtype
+    s_x = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
+    x_q = quantize_int8(x, s_x)
+
+    s_w = symmetric_scales(kernel, axis=3)  # per output channel [Cout]
+    w_q = quantize_int8(kernel, s_w[None, None, None, :])
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x_q,
+        w_q,
+        strides,
+        padding,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_x * s_w)[None, None, None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(in_dtype)

@@ -1,0 +1,85 @@
+"""int8 quantized conv path (ops/quant.py + unet.QConv)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from audio_intelligence_tpu.ops.quant import quant_conv2d, symmetric_scales
+from audio_intelligence_tpu.models.a2sb.unet import AttnUNetF, QConv, sinusoidal_temporal_embedding
+
+
+def _ref_conv(x, w, b, strides=(1, 1)):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, w, strides, ((1, 1), (1, 1)), dimension_numbers=dn)
+    return y + b
+
+
+def test_quant_conv2d_close_to_fp32():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 12, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((16,)) * 0.1, jnp.float32)
+    ref = np.asarray(_ref_conv(x, w, b))
+    q = np.asarray(quant_conv2d(x, w, b, (1, 1), ((1, 1), (1, 1))))
+    rel = np.abs(q - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel  # ~0.5-1% typical for int8 symmetric
+
+
+def test_quant_conv2d_strided():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 8)) * 0.3, jnp.float32)
+    ref = np.asarray(_ref_conv(x, w, jnp.zeros(8), (2, 2)))
+    q = np.asarray(quant_conv2d(x, w, None, (2, 2), ((1, 1), (1, 1))))
+    assert q.shape == ref.shape == (1, 4, 4, 8)
+    rel = np.abs(q - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.03, rel
+
+
+def test_zero_kernel_exact():
+    x = jnp.ones((1, 4, 4, 2))
+    w = jnp.zeros((3, 3, 2, 4))
+    q = np.asarray(quant_conv2d(x, w, None))
+    assert (q == 0).all()
+    # and an all-zero input
+    q2 = np.asarray(quant_conv2d(jnp.zeros((1, 4, 4, 2)), jnp.ones((3, 3, 2, 4))))
+    assert (q2 == 0).all()
+
+
+def test_symmetric_scales_per_channel():
+    w = np.zeros((3, 3, 2, 4), np.float32)
+    w[..., 0] = 1.27
+    w[..., 2] = -2.54
+    s = np.asarray(symmetric_scales(jnp.asarray(w), axis=3))
+    np.testing.assert_allclose(s, [0.01, 1.0, 0.02, 1.0], rtol=1e-5)
+
+
+def test_qconv_param_tree_matches_nn_conv():
+    import flax.linen as nn
+
+    x = jnp.zeros((1, 8, 8, 4))
+    qp = QConv(6, (3, 3), padding=1).init(jax.random.PRNGKey(0), x)["params"]
+    cp = nn.Conv(6, (3, 3), padding=1).init(jax.random.PRNGKey(0), x)["params"]
+    assert set(qp) == set(cp) == {"kernel", "bias"}
+    assert qp["kernel"].shape == cp["kernel"].shape
+
+
+def test_unet_int8_matches_bf16_path():
+    """Same params, both impls: outputs within quantization tolerance."""
+    model_kwargs = dict(
+        n_updown_levels=2, hidden_channels=(8, 16, 16), emb_channels=16,
+        band_embedding_dim=4, attention_levels=(1,), n_attn_heads=2,
+        num_res_blocks=1, rotary_dim=2,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 16, 8, 3)), jnp.float32)
+    te = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 16)
+    m_bf = AttnUNetF(**model_kwargs)
+    m_q = AttnUNetF(**model_kwargs, conv_impl="int8")
+    params = m_bf.init(jax.random.PRNGKey(0), x, te)
+    out_bf = np.asarray(m_bf.apply(params, x, te))
+    out_q = np.asarray(m_q.apply(params, x, te))  # identical param tree
+    assert out_q.shape == out_bf.shape
+    denom = np.abs(out_bf).mean() + 1e-6
+    rel = np.abs(out_q - out_bf).mean() / denom
+    assert rel < 0.1, rel
