@@ -135,10 +135,53 @@ class TarAudioReader:
         return self._reader.read(key)
 
 
+class TarAudioSegmentReader:
+    """Audio sub-segment reader: ``path`` is a jsonl of rows
+    ``{"id", "key", "index", "start", "duration"}`` (written by the
+    manifest converter for segmented audio-only datasets); reads the
+    (start, duration) window of tar member ``key`` via byte-range
+    seek, mirroring the reference's offset/duration manifest fields
+    (convert_tar_to_ualm_manifest.py build_unified_entry:226-244)."""
+
+    def __init__(self, segments_path: str, valid_ids: list | None = None):
+        self.segments: Dict[str, Dict[str, Any]] = {}
+        valid = set(valid_ids) if valid_ids is not None else None
+        index_paths = set()
+        with open(segments_path, encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                row = json.loads(line)
+                if valid is not None and row["id"] not in valid:
+                    continue
+                self.segments[row["id"]] = row
+                index_paths.add(row["index"])
+        from audio_intelligence_tpu.data.tarshard import TarballAudioReader
+
+        self._readers = {
+            p: TarballAudioReader(p, str(Path(p).parent)) for p in index_paths
+        }
+
+    def keys(self):
+        return self.segments.keys()
+
+    def __getitem__(self, sid: str):
+        seg = self.segments[sid]
+        return self._readers[seg["index"]].read(
+            seg["key"],
+            start_sec=seg.get("start") or None,
+            duration_sec=seg.get("duration") or None,
+        )
+
+    def __len__(self):
+        return len(self.segments)
+
+
 READER_TYPES = {
     "text": TextReader,
     "dialogue": DialogueReader,
     "tar_audio": TarAudioReader,
+    "tar_audio_segment": TarAudioSegmentReader,
     # drop-in alias: reference manifests say "lhotse_audio"
     "lhotse_audio": TarAudioReader,
 }

@@ -24,12 +24,16 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from audio_intelligence_tpu.data.audio_io import read_wav
-
 
 @dataclass
 class AudioInfo:
-    """One tar member's metadata (create_manifest.py AudioInfo analogue)."""
+    """One tar member's metadata (create_manifest.py AudioInfo analogue).
+
+    ``duration`` is stored explicitly (not just derivable) so downstream
+    manifest converters can estimate token lengths without touching the
+    tar (create_manifest.py:62-80 stores duration/offset metadata the
+    same way).
+    """
 
     key: str
     tar_path: str
@@ -38,13 +42,71 @@ class AudioInfo:
     sample_rate: int
     num_samples: int
     num_channels: int
+    duration: float = 0.0  # seconds
+
+    def __post_init__(self):
+        if not self.duration and self.sample_rate:
+            self.duration = self.num_samples / float(self.sample_rate)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__)
 
     @staticmethod
     def from_json(s: str) -> "AudioInfo":
-        return AudioInfo(**json.loads(s))
+        d = json.loads(s)
+        d.setdefault("duration", 0.0)
+        return AudioInfo(**d)
+
+
+def wav_header_info(wav_path: str) -> tuple[int, int, int]:
+    """(sample_rate, num_samples, num_channels) from the WAV header only —
+    no sample data is read (create_manifest.py:278-290 does the same for
+    metadata extraction speed)."""
+    import wave
+
+    with wave.open(wav_path, "rb") as w:
+        return w.getframerate(), w.getnframes(), w.getnchannels()
+
+
+def _write_one_shard(job) -> tuple[str, list[str]]:
+    """Write one tar shard + its jsonl index. Standalone function so a
+    ProcessPoolExecutor can fan shards out across workers."""
+    chunk, tar_path, idx_path, resume = job
+    tar_name = os.path.basename(tar_path)
+    if resume and _shard_is_complete(tar_path, idx_path, len(chunk)):
+        with open(idx_path) as f:
+            return idx_path, [line.rstrip("\n") for line in f if line.strip()]
+    with tarfile.open(tar_path, "w") as tf:
+        for key, wav_path in chunk:
+            tf.add(wav_path, arcname=key)
+    rows: list[str] = []
+    with tarfile.open(tar_path, "r") as tf, open(idx_path, "w") as idx:
+        for key, wav_path in chunk:
+            member = tf.getmember(key)
+            sr, n, ch = wav_header_info(wav_path)
+            info = AudioInfo(
+                key=key,
+                tar_path=tar_name,
+                data_offset=member.offset_data,
+                data_size=member.size,
+                sample_rate=sr,
+                num_samples=n,
+                num_channels=ch,
+            )
+            row = info.to_json()
+            idx.write(row + "\n")
+            rows.append(row)
+    return idx_path, rows
+
+
+def _shard_is_complete(tar_path: str, idx_path: str, expected: int) -> bool:
+    """A shard is resumable-complete when both files exist and the index
+    has exactly one row per member (the index is written last, so a
+    crashed run leaves it short or absent)."""
+    if not (os.path.exists(tar_path) and os.path.exists(idx_path)):
+        return False
+    with open(idx_path) as f:
+        return sum(1 for line in f if line.strip()) == expected
 
 
 def create_tar_shards(
@@ -52,49 +114,48 @@ def create_tar_shards(
     out_dir: str,
     shard_size: int = 512,
     prefix: str = "shard",
+    num_workers: int = 0,
+    resume: bool = False,
 ) -> list[str]:
     """Pack (key, wav_path) pairs into tar shards + index files.
 
     Writes ``{prefix}_{i:05d}.tar`` plus ``{prefix}_{i:05d}.index.jsonl``
     with byte offsets, and a combined sqlite index ``{prefix}.sqlite``.
+    Shards are independent, so ``num_workers > 1`` writes them in parallel
+    processes; ``resume`` skips shards whose tar + full index already
+    exist (create_manifest.py's multiprocessing/resume semantics).
     Returns the list of index paths.
     """
     os.makedirs(out_dir, exist_ok=True)
-    index_paths = []
-    db_path = os.path.join(out_dir, f"{prefix}.sqlite")
-    con = sqlite3.connect(db_path)
-    con.execute(
-        "CREATE TABLE IF NOT EXISTS audio (key TEXT PRIMARY KEY, meta TEXT)"
-    )
-
+    jobs = []
     for shard_idx in range(0, len(files), shard_size):
         chunk = files[shard_idx : shard_idx + shard_size]
         tar_name = f"{prefix}_{shard_idx // shard_size:05d}.tar"
         tar_path = os.path.join(out_dir, tar_name)
         idx_path = tar_path.replace(".tar", ".index.jsonl")
-        with tarfile.open(tar_path, "w") as tf:
-            for key, wav_path in chunk:
-                tf.add(wav_path, arcname=key)
-        # byte offsets are only materialized when reading the archive back
-        with tarfile.open(tar_path, "r") as tf, open(idx_path, "w") as idx:
-            for key, wav_path in chunk:
-                member = tf.getmember(key)
-                audio, sr = read_wav(wav_path)
-                info = AudioInfo(
-                    key=key,
-                    tar_path=tar_name,
-                    data_offset=member.offset_data,
-                    data_size=member.size,
-                    sample_rate=sr,
-                    num_samples=audio.shape[-1],
-                    num_channels=audio.shape[0],
-                )
-                idx.write(info.to_json() + "\n")
-                con.execute(
-                    "INSERT OR REPLACE INTO audio VALUES (?, ?)",
-                    (key, info.to_json()),
-                )
+        jobs.append((chunk, tar_path, idx_path, resume))
+
+    if num_workers and num_workers > 1 and len(jobs) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            results = list(ex.map(_write_one_shard, jobs))
+    else:
+        results = [_write_one_shard(j) for j in jobs]
+
+    db_path = os.path.join(out_dir, f"{prefix}.sqlite")
+    con = sqlite3.connect(db_path)
+    con.execute(
+        "CREATE TABLE IF NOT EXISTS audio (key TEXT PRIMARY KEY, meta TEXT)"
+    )
+    index_paths = []
+    for idx_path, rows in results:
         index_paths.append(idx_path)
+        for row in rows:
+            con.execute(
+                "INSERT OR REPLACE INTO audio VALUES (?, ?)",
+                (json.loads(row)["key"], row),
+            )
     con.commit()
     con.close()
     return index_paths

@@ -1,6 +1,6 @@
-"""Benchmark entry — prints ONE JSON line.
+"""Benchmark entry — prints ONE JSON line per run.
 
-Headline metric (BASELINE.md rebuild targets): A2SB 44.1 kHz bandwidth-
+Headline (default, what the driver runs): A2SB 44.1 kHz bandwidth-
 extension real-time factor per chip — 50 bridge-sampling steps with the
 flagship AttnUNetF (A2SB/configs/pretrain.yaml architecture) over a
 23.8 s segment, MultiDiffusion windows (win = hop = 256 frames, the
@@ -8,13 +8,25 @@ flagship AttnUNetF (A2SB/configs/pretrain.yaml architecture) over a
 trajectory one compiled ``lax.scan``. Baseline target: 5× real-time per
 v5e chip (vs_baseline = RTF / 5.0).
 
-Perf notes (round-1 profiling): per-kernel overhead dominates small
-batches on this chip (~2 ms/op regardless of FLOPs); batching the
-windows reaches ~50% MXU utilization (~22.6 ms/window/step).
+``--model etta``: flagship ETTA-DiT (depth 24, d 1536) + Oobleck VAE
+decode, 10 s stereo 44.1 kHz generation, 100-step RF euler with CFG 3.5
+(batch-doubled). BASELINE.md target: < 2 s wall on a v5e-8; measured
+here on ONE chip (vs_baseline = 2.0 / wall).
+
+``--model ualm``: 1.5B-class ParallelLM (Qwen2.5-1.5B geometry, unified
+152k vocab, 8 streams) KV-cache scan decode, 256 AR steps with CFG 3
+(dual-branch cache) + top-k 20 restricted decoding — the reference
+inference.yaml config. Reported as decoded frames/s; vs_baseline =
+fps / 50 (real-time at a 50 Hz codec frame rate).
+
+Timing methodology (PERF.md): time a device-side scalar checksum —
+``block_until_ready`` does not reliably block on the axon relay and
+fetching MB-sized outputs times the tunnel, not the chip.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -27,14 +39,14 @@ N_STEPS = 50
 WIN = 256
 
 
-def main():
+def _jax_setup():
     import os
 
     import jax
 
-    # persistent compilation cache: the flagship restore program takes
-    # ~10 min to compile on the axon relay; a pre-warmed cache (committed
-    # under .jax_cache) makes reruns start in seconds
+    # persistent compilation cache: flagship programs take minutes to
+    # compile on the axon relay; the committed cache (.jax_cache) makes
+    # reruns start in seconds
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -43,6 +55,15 @@ def main():
     # rbg PRNG: hardware-accelerated random bits on TPU (threefry costs
     # real time at 25 MB of noise per sampling step)
     jax.config.update("jax_default_prng_impl", "rbg")
+    return jax
+
+
+def _zeros_like_shapes(jax, shapes, dtype):
+    return jax.tree.map(lambda s: jax.numpy.zeros(s.shape, dtype), shapes)
+
+
+def bench_a2sb():
+    jax = _jax_setup()
     import jax.numpy as jnp
 
     from audio_intelligence_tpu import ops
@@ -88,7 +109,7 @@ def main():
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), x1[:, :, :WIN, :], te0)
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, dtype), shapes)
+    params = _zeros_like_shapes(jax, shapes, dtype)
 
     def vf(x_t, t):
         te = sinusoidal_temporal_embedding(
@@ -116,16 +137,122 @@ def main():
     dt = time.perf_counter() - t0
 
     rtf = (SEGMENT_SAMPLES / SAMPLE_RATE) / dt
-    print(
-        json.dumps(
-            {
-                "metric": "a2sb_bwe_rtf_50step_per_chip",
-                "value": round(rtf, 3),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf / 5.0, 3),
-            }
-        )
+    return {
+        "metric": "a2sb_bwe_rtf_50step_per_chip",
+        "value": round(rtf, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / 5.0, 3),
+    }
+
+
+def bench_etta():
+    """Flagship text-to-audio: 10 s stereo 44.1 kHz, 100-step RF euler,
+    CFG 3.5, DiT depth 24 / d 1536 + Oobleck VAE decoder (×2048), bf16,
+    whole trajectory one lax.scan (PERF.md methodology, now in-repo)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.etta.dit import (
+        DiffusionTransformer,
+        cfg_forward,
     )
+    from audio_intelligence_tpu.models.etta.sampling import sample_discrete_euler
+    from audio_intelligence_tpu.models.etta.vae import OobleckDecoder
+
+    dtype = jnp.bfloat16
+    latent_len = 215  # 10 s · 44100 / 2048
+    dit = DiffusionTransformer()  # flagship defaults (etta_dit.json:72-101)
+    dec = OobleckDecoder(channels=128, out_channels=2, latent_dim=64)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, latent_len, 64), dtype)
+    cond = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 768), dtype)  # T5-base states
+    gcond = jax.random.normal(jax.random.PRNGKey(2), (1, 1536), dtype)  # seconds embeds
+
+    t0c = jnp.zeros((1,), dtype)
+    dit_shapes = jax.eval_shape(
+        lambda: dit.init(jax.random.PRNGKey(0), x0, t0c, cond, None, gcond)
+    )
+    dit_params = _zeros_like_shapes(jax, dit_shapes, dtype)
+    dec_shapes = jax.eval_shape(lambda: dec.init(jax.random.PRNGKey(0), x0))
+    dec_params = _zeros_like_shapes(jax, dec_shapes, dtype)
+
+    @jax.jit
+    def generate(dit_params, dec_params, key):
+        def model_fn(x, t):
+            return cfg_forward(
+                lambda *a, **k: dit.apply(dit_params, *a, **k),
+                x, t, cond, None, gcond, cfg_scale=3.5,
+            )
+
+        noise = jax.random.normal(key, x0.shape, dtype)
+        lat = sample_discrete_euler(model_fn, noise, steps=100, sigma_max=1.0)
+        wav = dec.apply(dec_params, lat)
+        return jnp.sum(wav.astype(jnp.float32))
+
+    _ = float(generate(dit_params, dec_params, jax.random.PRNGKey(3)))  # compile
+    t0 = time.perf_counter()
+    _ = float(generate(dit_params, dec_params, jax.random.PRNGKey(4)))
+    dt = time.perf_counter() - t0
+
+    return {
+        "metric": "etta_tta_10s_wall_per_chip",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(2.0 / dt, 3),
+    }
+
+
+def bench_ualm():
+    """1.5B-class multi-stream decode with CFG 3 (dual cache), top-k 20,
+    temperature 0.8 — conf/inference.yaml settings; 256 AR steps measured
+    as decoded frames/s (PERF.md methodology, now in-repo)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.ualm.backbone import BackboneConfig
+    from audio_intelligence_tpu.models.ualm.decode import generate_segment
+    from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+
+    dtype = jnp.bfloat16
+    n_steps = 256
+    vocab = 152064  # Qwen2.5 vocab rounded into the unified table
+    num_stream = 8
+    model = ParallelLM(cfg=BackboneConfig.qwen25_1_5b(), vocab_size=vocab,
+                       num_stream=num_stream)
+
+    prompt = jnp.zeros((1, 32, num_stream), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), prompt))
+    variables = _zeros_like_shapes(jax, shapes, dtype)
+    logit_mask = jnp.zeros((num_stream, vocab), dtype)
+
+    @jax.jit
+    def decode(variables, key):
+        tokens, done = generate_segment(
+            model, variables, prompt, n_steps, logit_mask,
+            eos_id=2, key=key, cfg_scale=3.0, top_k=20, temperature=0.8,
+        )
+        return jnp.sum(tokens) + jnp.sum(done)
+
+    _ = int(decode(variables, jax.random.PRNGKey(0)))  # compile + warmup
+    t0 = time.perf_counter()
+    _ = int(decode(variables, jax.random.PRNGKey(1)))
+    dt = time.perf_counter() - t0
+
+    fps = n_steps / dt
+    return {
+        "metric": "ualm_decode_frames_per_s_cfg3",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 50.0, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("a2sb", "etta", "ualm"), default="a2sb")
+    args = ap.parse_args()
+    result = {"a2sb": bench_a2sb, "etta": bench_etta, "ualm": bench_ualm}[args.model]()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

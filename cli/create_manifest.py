@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Shard audio files into tar archives + byte-offset manifests.
+"""Shard audio (+captions/conversations) into tar archives with
+byte-offset indexes and a per-entry NDJSON manifest.
 
-Parity with UALM/tools/object_storage_manifest/create_manifest.py: packs
-wavs into tar shards and writes jsonl + sqlite indexes with absolute data
-offsets for S3-style range reads.
+Parity with UALM/tools/object_storage_manifest/create_manifest.py:
+jsonl/json/txt/dir entry loading, WAV-header metadata extraction
+(duration, sample rate, byte data_offset for S3-style range reads),
+multiprocessing shard writes, resume (complete shards are skipped),
+duration statistics and a summary index.
 
 Usage:
-  python cli/create_manifest.py --audio_dir wavs/ --out_dir shards/ \
-      --shard_size 512 --prefix train
+  python cli/create_manifest.py --audio_dir wavs/ --out_dir shards/
+  python cli/create_manifest.py --jsonl data.jsonl --out_dir shards/ \
+      --num_workers 8 --resume --prefix train
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -21,38 +26,61 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--audio_dir", default=None)
-    p.add_argument("--filelist", default=None, help="lines: key<TAB>path (or just path)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--audio_dir", help="recursive *.wav scan")
+    src.add_argument("--filelist", help="lines: path[<TAB>caption] or key<TAB>path")
+    src.add_argument("--jsonl", help='rows: {"location", "text"/"caption"?, "conversations"?, "start"?, "duration"?}')
     p.add_argument("--out_dir", required=True)
     p.add_argument("--shard_size", type=int, default=512)
     p.add_argument("--prefix", default="shard")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="shards written in parallel processes when > 1")
+    p.add_argument("--resume", action="store_true",
+                   help="skip shards whose tar + full index already exist")
+    p.add_argument("--audio_source_dir", default=None,
+                   help="base dir for relative locations in --jsonl entries")
+    p.add_argument("--location_key", default="location")
+    p.add_argument("--caption_key", default="text")
     args = p.parse_args(argv)
 
-    from audio_intelligence_tpu.data.etta_dataset import get_audio_filenames
-    from audio_intelligence_tpu.data.tarshard import create_tar_shards
+    from audio_intelligence_tpu.data.manifest import (
+        create_manifest_pipeline,
+        load_entries,
+    )
 
-    files: list[tuple[str, str]] = []
     if args.audio_dir:
-        for path in get_audio_filenames([args.audio_dir], exts=(".wav",)):
-            files.append((Path(path).stem, path))
-    elif args.filelist:
-        for line in open(args.filelist):
+        entries = load_entries(args.audio_dir)
+    elif args.jsonl:
+        entries = load_entries(
+            args.jsonl,
+            location_key=args.location_key,
+            caption_key=args.caption_key,
+        )
+    else:
+        entries = []
+        for line in open(args.filelist, encoding="utf-8"):
             line = line.strip()
             if not line:
                 continue
             if "\t" in line:
-                key, path = line.split("\t", 1)
+                a, b = line.split("\t", 1)
+                if Path(a).suffix == ".wav" or "/" in a:
+                    entries.append({"location": a, "caption": b})
+                else:  # legacy key<TAB>path form
+                    entries.append({"id": a, "location": b})
             else:
-                key, path = Path(line).stem, line
-            files.append((key, path))
-    else:
-        p.error("need --audio_dir or --filelist")
+                entries.append({"location": line})
 
-    idx_paths = create_tar_shards(
-        files, args.out_dir, shard_size=args.shard_size, prefix=args.prefix
+    summary = create_manifest_pipeline(
+        entries,
+        args.out_dir,
+        prefix=args.prefix,
+        shard_size=args.shard_size,
+        num_workers=args.num_workers,
+        resume=args.resume,
+        audio_source_dir=args.audio_source_dir,
     )
-    print(f"wrote {len(idx_paths)} shards ({len(files)} files) under {args.out_dir}")
-    print(f"sqlite index: {args.out_dir}/{args.prefix}.sqlite")
+    print(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":

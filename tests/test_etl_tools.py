@@ -1,0 +1,223 @@
+"""End-to-end ETL: fixture wavs → tar shards + manifests → UALM dataset
+manifests → consumed by SingleDataset/CombinedDataset/DataIteratorFactory,
+plus the dependency-free standalone loader (VERDICT round-1 item 10;
+reference tools under UALM/tools/)."""
+
+import json
+import os
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from audio_intelligence_tpu.data.manifest import (
+    ConvertConfig,
+    convert_shard_manifest_to_ualm,
+    convert_text_jsonl_to_ualm,
+    create_manifest_pipeline,
+    estimate_length,
+    generate_segments,
+    load_entries,
+    whitespace_token_count,
+)
+from audio_intelligence_tpu.data.datasets import CombinedDataset, SingleDataset
+from audio_intelligence_tpu.data.ualm_iterator import DataIteratorFactory
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+import standalone_loader  # noqa: E402
+
+
+def _write_wav(path, seconds, sr=16000, ch=1, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(seconds * sr)
+    pcm = (rng.standard_normal((n, ch)) * 3000).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return pcm.astype(np.float32).T / 32768.0
+
+
+@pytest.fixture(scope="module")
+def etl_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("etl")
+    wavs = root / "wavs"
+    wavs.mkdir()
+    durations = {"a": 2.0, "b": 5.5, "c": 1.25, "d": 7.0}
+    pcm = {}
+    for i, (name, dur) in enumerate(durations.items()):
+        pcm[name] = _write_wav(wavs / f"{name}.wav", dur, seed=i)
+    jsonl = root / "data.jsonl"
+    with open(jsonl, "w") as f:
+        for name in durations:
+            f.write(
+                json.dumps(
+                    {"id": name, "location": str(wavs / f"{name}.wav"),
+                     "text": f"sound of {name} " * 3}
+                )
+                + "\n"
+            )
+    return root, jsonl, durations, pcm
+
+
+def test_create_manifest_pipeline_and_resume(etl_dirs):
+    root, jsonl, durations, _ = etl_dirs
+    out = root / "shards"
+    entries = load_entries(str(jsonl))
+    assert len(entries) == 4 and entries[0]["caption"].startswith("sound of")
+
+    s1 = create_manifest_pipeline(
+        entries, str(out), prefix="train", shard_size=2, num_workers=2
+    )
+    assert s1["num_entries"] == 4 and s1["num_shards"] == 2
+    assert abs(s1["total_duration_s"] - sum(durations.values())) < 1e-3
+
+    # resume: rerun must reuse completed shards and produce the same manifest
+    manifest = (out / "train.manifest.jsonl").read_text()
+    mtimes = {p.name: p.stat().st_mtime_ns for p in out.glob("*.tar")}
+    s2 = create_manifest_pipeline(
+        entries, str(out), prefix="train", shard_size=2, resume=True
+    )
+    assert s2 == s1
+    assert (out / "train.manifest.jsonl").read_text() == manifest
+    assert {p.name: p.stat().st_mtime_ns for p in out.glob("*.tar")} == mtimes
+
+    # manifest rows carry duration + byte offsets
+    row = json.loads(manifest.splitlines()[0])
+    assert row["audio"]["duration"] > 0 and row["audio"]["data_offset"] > 0
+    assert row["text"]["caption"].startswith("sound of")
+
+
+def test_convert_caption_to_audio_and_consume(etl_dirs):
+    root, jsonl, durations, pcm = etl_dirs
+    out = root / "shards"
+    entries = load_entries(str(jsonl))
+    create_manifest_pipeline(entries, str(out), prefix="train", shard_size=2,
+                             resume=True)
+
+    man_dir = root / "manifests"
+    res = convert_shard_manifest_to_ualm(
+        ConvertConfig(
+            name="fixture",
+            manifest=str(out / "train.manifest.jsonl"),
+            task="caption_to_audio",
+            audio_fps=50.0,
+        ),
+        str(man_dir),
+    )
+    assert res["num_samples"] == 4
+    assert res["specifier"].startswith("caption_to_audio:fixture:")
+
+    ds = SingleDataset(res["dataset_json"])
+    assert sorted(ds.sample_ids) == sorted(durations)
+    sample = ds["b"]
+    assert sample["text1"].startswith("sound of b")
+    audio, sr = sample["audio1"]
+    assert sr == 16000
+    assert abs(audio.shape[1] / sr - durations["b"]) < 0.01
+    np.testing.assert_allclose(audio, pcm["b"], atol=1e-4)
+
+    # stats drive a batch plan through the real factory
+    factory = DataIteratorFactory(
+        specifiers=[res["specifier"]],
+        stats_dir=str(man_dir),
+        batch_token=500,
+    )
+    batches = factory.build_batches(epoch=0)
+    assert batches and all(k[0] == "caption_to_audio" for b in batches for k in b)
+    got = {k[2] for b in batches for k in b}
+    assert got == set(durations)
+    # bucket batching respects the token budget (duration·fps dominates)
+    for b in batches:
+        longest = max(factory.key_to_length[k] for k in b)
+        assert longest * len(b) <= 500
+
+
+def test_convert_audio_only_segmentation(etl_dirs):
+    root, jsonl, durations, pcm = etl_dirs
+    out = root / "shards"
+    man_dir = root / "manifests_seg"
+    res = convert_shard_manifest_to_ualm(
+        ConvertConfig(
+            name="fixture_seg",
+            manifest=str(out / "train.manifest.jsonl"),
+            task="audio_only",
+            segment_duration_max=3.0,
+            segment_duration_min=1.0,
+        ),
+        str(man_dir),
+    )
+    # a: 2.0s → 1 seg tail-only? No: 0 full + tail 2.0 ≥ 1.0 → 1;
+    # b: 5.5 → 3.0 + 2.5 → 2; c: 1.25 → 1; d: 7.0 → 3.0+3.0+1.0 → 3
+    assert res["num_samples"] == 7
+    ds = SingleDataset(res["dataset_json"])
+    seg_id = "d__seg1"
+    audio, sr = ds[seg_id]["audio1"]
+    assert abs(audio.shape[1] / sr - 3.0) < 0.01
+    # the second 3 s window of d, bit-exact against the source pcm
+    np.testing.assert_allclose(audio, pcm["d"][:, sr * 3 : sr * 6], atol=1e-4)
+
+
+def test_convert_text_jsonl(etl_dirs, tmp_path):
+    chat = tmp_path / "chat.jsonl"
+    with open(chat, "w") as f:
+        f.write(json.dumps({"text": "what is two plus two", "response": "four"}) + "\n")
+        f.write(
+            json.dumps(
+                {"conversations": [
+                    {"from": "human", "value": "name a color"},
+                    {"from": "gpt", "value": "blue"},
+                ]}
+            )
+            + "\n"
+        )
+    res = convert_text_jsonl_to_ualm(str(chat), str(tmp_path / "m"), "chat",
+                                     factor=0.5)
+    assert res["num_samples"] == 2
+    assert res["specifier"].endswith(":0.5")
+    ds = SingleDataset(res["dataset_json"])
+    sid = ds.sample_ids[1]
+    assert ds[sid]["text1"] == "name a color"
+    assert ds[sid]["text2"] == "blue"
+
+    # registry + CombinedDataset route
+    reg = tmp_path / "registry.json"
+    reg.write_text(json.dumps({"chat": {"path": res["dataset_json"]}}))
+    os.environ["AIT_DATASET_REGISTRY"] = str(reg)
+    try:
+        combined = CombinedDataset(registered_datasets=["chat"])
+        _key, sample = combined[("text_only", "chat", sid)]
+        assert sample["text2"] == "blue"
+    finally:
+        del os.environ["AIT_DATASET_REGISTRY"]
+
+
+def test_standalone_loader(etl_dirs):
+    root, jsonl, durations, pcm = etl_dirs
+    out = root / "shards"
+    m = standalone_loader.StandaloneManifest(str(out / "train.manifest.jsonl"))
+    assert sorted(m.keys()) == sorted(durations)
+    audio, sr = m.read_audio("c")
+    np.testing.assert_allclose(audio, pcm["c"], atol=1e-4)
+
+    ds_json = root / "manifests" / "dataset_caption_to_audio_fixture.json"
+    d = standalone_loader.StandaloneDataset(str(ds_json))
+    sample = d["a"]
+    assert sample["text1"].startswith("sound of a")
+    audio, sr = sample["audio1"]
+    np.testing.assert_allclose(audio, pcm["a"], atol=1e-4)
+
+
+def test_length_estimation_units():
+    assert whitespace_token_count("") == 0
+    assert whitespace_token_count("one two three") == 3
+    msgs = [("user", "text", "a b c"), ("assistant", "audio", 2.0)]
+    # 1 bos + (3 + 3 tokens) + (3 + 100 audio frames)
+    assert estimate_length(msgs, whitespace_token_count, audio_fps=50.0) == 110
+    assert generate_segments(7.0, 3.0, 1.0) == [
+        (0.0, 3.0, 0), (3.0, 3.0, 1), (6.0, 1.0, 2)
+    ]
+    assert generate_segments(2.0, 0.0, 1.0) == []
