@@ -106,3 +106,84 @@ def convert_qwen2_to_parallel_lm(
         )
     bb["norm"]["weight"] = np.asarray(sd["model.norm.weight"])
     return params
+
+
+# ---------------------------------------------------------------------------
+# AF-Whisper continuous-audio tower
+# ---------------------------------------------------------------------------
+
+
+def infer_whisper_config(sd: dict, num_heads: int | None = None):
+    """WhisperTowerConfig from state-dict shapes (head count defaults to
+    d_model/64, the Whisper convention across all released sizes)."""
+    from audio_intelligence_tpu.models.ualm.whisper_tower import WhisperTowerConfig
+
+    d_model, n_mels, _ = sd["conv1.weight"].shape
+    num_layers = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("layers.")
+    )
+    return WhisperTowerConfig(
+        d_model=d_model,
+        num_layers=num_layers,
+        num_heads=num_heads or d_model // 64,
+        ffn_dim=sd["layers.0.fc1.weight"].shape[0],
+        n_mels=n_mels,
+        max_positions=sd["embed_positions.weight"].shape[0],
+    )
+
+
+def convert_whisper_tower(sd: dict) -> dict:
+    """Reference AFWhisperEncoder state dict → flax WhisperTower params
+    (modeling_whisper.py AFWhisperEncoder:589-766; keys may be prefixed
+    ``audio_tower.`` / ``sound_tower.encoder.`` — strip before calling).
+
+    torch Conv1d [out, in, k] → flax [k, in, out]; Linear [out, in] →
+    kernel [in, out]; the learned embed_positions table copies verbatim.
+    """
+    for prefix in ("audio_tower.", "sound_tower.encoder.", "encoder."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {
+                k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+            }
+            break
+
+    def conv1d(src):
+        return {
+            "kernel": np.ascontiguousarray(
+                np.asarray(sd[src + ".weight"]).transpose(2, 1, 0)
+            ),
+            "bias": np.asarray(sd[src + ".bias"]),
+        }
+
+    def lin(src, bias=True):
+        out = {"kernel": np.ascontiguousarray(np.asarray(sd[src + ".weight"]).T)}
+        if bias:
+            out["bias"] = np.asarray(sd[src + ".bias"])
+        return out
+
+    def ln(src):
+        return {
+            "scale": np.asarray(sd[src + ".weight"]),
+            "bias": np.asarray(sd[src + ".bias"]),
+        }
+
+    params = {
+        "conv1": conv1d("conv1"),
+        "conv2": conv1d("conv2"),
+        "embed_positions": np.asarray(sd["embed_positions.weight"]),
+        "layer_norm": ln("layer_norm"),
+    }
+    n_layers = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("layers."))
+    for i in range(n_layers):
+        src = f"layers.{i}"
+        params[f"layers_{i}"] = {
+            "self_attn_layer_norm": ln(f"{src}.self_attn_layer_norm"),
+            "q_proj": lin(f"{src}.self_attn.q_proj"),
+            "k_proj": lin(f"{src}.self_attn.k_proj", bias=False),
+            "v_proj": lin(f"{src}.self_attn.v_proj"),
+            "out_proj": lin(f"{src}.self_attn.out_proj"),
+            "final_layer_norm": ln(f"{src}.final_layer_norm"),
+            "fc1": lin(f"{src}.fc1"),
+            "fc2": lin(f"{src}.fc2"),
+        }
+    return params

@@ -60,7 +60,7 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask_bias=None):
         cfg = self.cfg
-        h = nn.LayerNorm(name="self_attn_layer_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")(x)
         b, t, d = h.shape
         hd = d // cfg.num_heads
         q = nn.Dense(d, name="q_proj")(h).reshape(b, t, cfg.num_heads, hd)
@@ -73,7 +73,7 @@ class EncoderLayer(nn.Module):
         o = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
         x = x + nn.Dense(d, name="out_proj")(o)
 
-        h = nn.LayerNorm(name="final_layer_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
         h = nn.Dense(cfg.ffn_dim, name="fc1")(h)
         h = jax.nn.gelu(h, approximate=False)
         x = x + nn.Dense(d, name="fc2")(h)
@@ -95,8 +95,15 @@ class WhisperTower(nn.Module):
             nn.Conv(cfg.d_model, (3,), strides=(2,), padding=1, name="conv2")(x)
         )
         t = x.shape[1]
-        pos = jnp.asarray(sinusoids(t, cfg.d_model))
-        x = x + pos[None]
+        # a parameter (sinusoid-initialized), not a fixed table: the
+        # reference's embed_positions is a learned nn.Embedding loaded from
+        # the checkpoint (modeling_whisper.py:617-618), so converted
+        # weights must be able to overwrite it
+        pos = self.param(
+            "embed_positions",
+            lambda _key: jnp.asarray(sinusoids(cfg.max_positions, cfg.d_model)),
+        )
+        x = x + pos[None, :t].astype(x.dtype)
 
         bias = None
         if frame_mask is not None:
@@ -110,4 +117,4 @@ class WhisperTower(nn.Module):
         # avg-pool ×2 then final norm (modeling_whisper.py AFWhisper pool)
         t2 = (x.shape[1] // 2) * 2
         x = x[:, :t2].reshape(x.shape[0], t2 // 2, 2, cfg.d_model).mean(axis=2)
-        return nn.LayerNorm(name="layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)

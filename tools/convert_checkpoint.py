@@ -260,12 +260,13 @@ def main(argv=None):
         "--kind",
         choices=[
             "a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit",
-            "t5_encoder", "ualm_backbone",
+            "t5_encoder", "ualm_backbone", "whisper_tower",
         ],
         required=True,
     )
-    p.add_argument("--num_heads", type=int, default=12,
-                   help="ualm_backbone: attention heads (Qwen2.5-1.5B: 12)")
+    p.add_argument("--num_heads", type=int, default=None,
+                   help="attention heads (ualm_backbone default 12 = "
+                   "Qwen2.5-1.5B; whisper_tower default d_model/64)")
     p.add_argument("--unified_vocab", type=int, default=165536,
                    help="ualm_backbone: unified multimodal vocab size")
     p.add_argument("--text_start", type=int, default=256,
@@ -334,7 +335,7 @@ def main(argv=None):
         )
         from audio_intelligence_tpu.models.ualm.lm import ParallelLM
 
-        cfg = infer_qwen2_config(sd, num_heads=args.num_heads)
+        cfg = infer_qwen2_config(sd, num_heads=args.num_heads or 12)
         print(f"inferred {cfg}")
         model = ParallelLM(
             cfg=cfg, vocab_size=args.unified_vocab, num_stream=args.num_stream
@@ -343,6 +344,16 @@ def main(argv=None):
             jax.random.PRNGKey(0), jnp.ones((1, 2, args.num_stream), jnp.int32)
         )["params"]
         params = convert_qwen2_to_parallel_lm(sd, init, args.text_start)
+    elif args.kind == "whisper_tower":
+        # reference AFWhisperEncoder (UALM modeling_whisper.py:589-766) →
+        # flax WhisperTower; config inferred from tensor shapes
+        from audio_intelligence_tpu.models.ualm.convert import (
+            convert_whisper_tower,
+            infer_whisper_config,
+        )
+
+        print(f"inferred {infer_whisper_config(sd, num_heads=args.num_heads)}")
+        params = convert_whisper_tower(sd)
     else:
         params = convert_oobleck(sd, args.n_blocks, decoder=True)
 
