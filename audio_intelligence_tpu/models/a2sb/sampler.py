@@ -224,12 +224,26 @@ def bridge_sample(
         if mask is not None:
             mask, _ = pad_for_multidiffusion(mask, win_length, hop_length)
 
-    def eval_vf(x_t, t):
+    # Carry the scan state CHANNELS-FIRST. The bridge math is ~10
+    # elementwise passes per step over the full spectrogram; with the
+    # public NHWC layout the 3-wide channel axis is minor-most and TPU
+    # tiling pads it to the 128 lanes (~40× the real bytes — profiled at
+    # 6.6 ms for ONE such pass). In [B, C, H, W] the minor dims tile
+    # exactly; only the UNet call transposes to NHWC (once per step, and
+    # that write doubles as the window batch).
+    to_cf = lambda a: jnp.transpose(a, (0, 3, 1, 2))  # NHWC → NCHW
+    to_cl = lambda a: jnp.transpose(a, (0, 2, 3, 1))  # NCHW → NHWC
+    x_1 = to_cf(x_1)
+    if mask is not None:
+        mask = to_cf(mask)
+
+    def eval_vf(x_t_cf, t):
+        x_t = to_cl(x_t_cf)
         if use_md:
-            return multidiffusion_vf(
-                vf_fn, x_t, t, win_length, hop_length, chunk_size
+            return to_cf(
+                multidiffusion_vf(vf_fn, x_t, t, win_length, hop_length, chunk_size)
             )
-        return vf_fn(x_t, t)
+        return to_cf(vf_fn(x_t, t))
 
 
     def step(carry, ts):
@@ -264,5 +278,7 @@ def bridge_sample(
 
     (_, _, last_pred), pred_x0s = jax.lax.scan(step_adapter, init, ts_pairs)
     if return_all:
+        # [steps, B, C, H, W] → [steps, B, H, W, C]
+        pred_x0s = jnp.transpose(pred_x0s, (0, 1, 3, 4, 2))
         return unpad_multidiffusion(pred_x0s, original_width)
-    return unpad_multidiffusion(last_pred, original_width)
+    return unpad_multidiffusion(to_cl(last_pred), original_width)

@@ -20,8 +20,22 @@ exact: scale 0 → quantized zeros → exact zero output.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class QTensor(NamedTuple):
+    """A pre-quantized activation: int8 values + the fp32 per-tensor scale.
+
+    Produced by fused producer epilogues (e.g. the UNet's GN+SiLU+quant
+    chain) so the consuming conv skips its own dynamic-quantization passes
+    over HBM — the whole normalize→activate→quantize chain fuses into one
+    elementwise kernel whose OUTPUT is already int8 (¼ the write traffic)."""
+
+    q: jax.Array  # int8
+    scale: jax.Array  # f32 scalar
 
 
 def symmetric_scales(w: jax.Array, axis) -> jax.Array:
@@ -39,27 +53,36 @@ def quantize_int8(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def quant_conv2d(
-    x: jax.Array,
+    x: jax.Array | QTensor,
     kernel: jax.Array,
     bias: jax.Array | None = None,
     strides=(1, 1),
     padding="SAME",
+    out_dtype=None,
 ) -> jax.Array:
     """int8×int8 NHWC/HWIO convolution with fp32 rescale.
 
     Drop-in for the bf16 ``nn.Conv`` apply: same operands, same output
     dtype as ``x``; quantization error ~0.5% relative (gated in
     tests/test_quant.py and by the int8-vs-bf16 restore LSD in PERF.md).
+    ``x`` may be a :class:`QTensor` from a fused producer epilogue, in
+    which case the dynamic-quantization passes are skipped entirely.
     """
-    in_dtype = x.dtype
-    s_x = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
-    x_q = quantize_int8(x, s_x)
+    if isinstance(x, QTensor):
+        x_q, s_x = x.q, x.scale
+        in_dtype = out_dtype or jnp.bfloat16
+    else:
+        in_dtype = out_dtype or x.dtype
+        s_x = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
+        x_q = quantize_int8(x, s_x)
 
     s_w = symmetric_scales(kernel, axis=3)  # per output channel [Cout]
     w_q = quantize_int8(kernel, s_w[None, None, None, :])
 
-    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    dn = jax.lax.conv_dimension_numbers(
+        x_q.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+    )
     y = jax.lax.conv_general_dilated(
         x_q,
         w_q,

@@ -75,6 +75,10 @@ def bench_a2sb():
     )
 
     dtype = jnp.bfloat16
+    # int8 fast path: the production restore configuration — quantized
+    # convs with the fused GN→SiLU→quant epilogue (analytic scales).
+    # Numerics are gated in tests/test_quant.py (int8-vs-bf16 UNet
+    # relative error < 10%, conv error < 2-3%).
     model = AttnUNetF(
         n_updown_levels=5,
         hidden_channels=(128, 256, 512, 768, 1024, 2048),
@@ -83,6 +87,7 @@ def bench_a2sb():
         attention_levels=(3, 4),
         n_attn_heads=8,
         num_res_blocks=2,
+        conv_impl="int8",
     )
     sched = BridgeSchedule(beta_max=1.0)
 
