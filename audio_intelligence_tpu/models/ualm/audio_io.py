@@ -215,8 +215,10 @@ class DiscreteAudioIO(AbsIO):
 
         codes = self.codec.apply(
             self.codec_variables, wav[:, : max_frames * self.frame_shift],
-            method=RVQCodec.encode,
-        )  # [B, frames, S_codec]
+            method=type(self.codec).encode,
+        )  # [B, frames, S_codec] — any codec with the RVQCodec contract
+        # plugs in here, incl. the converted-weights XcodecFlax
+        # (models/ualm/xcodec.py), the reference's actual tokenizer
         if self.n_ssl_streams:
             feats = self.ssl_feature_fn(wav[:, : max_frames * self.frame_shift])
             ssl_ids = self.ssl_quantizer(feats)[:, : codes.shape[1]]  # [B, frames]
@@ -256,7 +258,8 @@ class DiscreteAudioIO(AbsIO):
         # codec streams only (audio.py:494-543 strips them the same way)
         local = local[..., self.n_ssl_streams :]
         wav = self.codec.apply(
-            self.codec_variables, jnp.asarray(local), method=RVQCodec.decode
+            self.codec_variables, jnp.asarray(local),
+            method=type(self.codec).decode,
         )
         return wav, (lengths * self.frame_shift if lengths is not None else None), self.sample_rate
 

@@ -260,7 +260,7 @@ def main(argv=None):
         "--kind",
         choices=[
             "a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit",
-            "t5_encoder", "ualm_backbone", "whisper_tower",
+            "t5_encoder", "ualm_backbone", "whisper_tower", "xcodec",
         ],
         required=True,
     )
@@ -354,6 +354,17 @@ def main(argv=None):
 
         print(f"inferred {infer_whisper_config(sd, num_heads=args.num_heads)}")
         params = convert_whisper_tower(sd)
+    elif args.kind == "xcodec":
+        # HF XcodecModel (the reference's audio tokenizer, UALM
+        # audio.py:203-232) → flax XcodecFlax
+        from audio_intelligence_tpu.models.ualm.xcodec import (
+            convert_hf_xcodec,
+            infer_xcodec_config,
+        )
+
+        cfg = infer_xcodec_config(sd)
+        print(f"inferred {cfg}")
+        params = convert_hf_xcodec(sd, cfg)
     else:
         params = convert_oobleck(sd, args.n_blocks, decoder=True)
 
