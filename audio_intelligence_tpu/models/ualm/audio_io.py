@@ -265,28 +265,51 @@ class DiscreteAudioIO(AbsIO):
 
 
 class ContinuousAudioIO(AbsIO):
+    """Dense audio features for understanding inputs. Two encoder types,
+    mirroring the reference's encoder_choice (audio.py:929-1006):
+    "afwhisper" (local AF-Whisper tower) and "qwen_omni" (the Qwen2.5-Omni
+    thinker audio tower — windowed attention, output_dim projection)."""
+
     modality = "audio"
     is_discrete = False
 
     def __init__(
         self,
-        tower: WhisperTower | None = None,
+        tower=None,
         tower_variables=None,
-        cfg: WhisperTowerConfig | None = None,
+        cfg=None,
         sample_rate: int = 16000,
         max_seconds: float = 30.0,
         hop_length: int = 160,
         n_fft: int = 400,
+        encoder_type: str = "afwhisper",
     ):
+        from audio_intelligence_tpu.models.ualm.omni_tower import (
+            OmniAudioTower,
+            OmniTowerConfig,
+        )
+
+        if tower is not None and isinstance(tower, OmniAudioTower):
+            encoder_type = "qwen_omni"
+        self.encoder_type = encoder_type
         self.tower = tower
         self.tower_variables = tower_variables
-        self.cfg = cfg or (tower.cfg if tower is not None else WhisperTowerConfig())
+        if cfg is None:
+            if tower is not None:
+                cfg = tower.cfg
+            elif encoder_type == "qwen_omni":
+                cfg = OmniTowerConfig()
+            else:
+                cfg = WhisperTowerConfig()
+        self.cfg = cfg
         self.sample_rate = sample_rate
         self.max_samples = int(max_seconds * sample_rate)
         self.hop_length = hop_length
         self.n_fft = n_fft
 
     def feature_dim(self) -> int:
+        if self.encoder_type == "qwen_omni":
+            return self.cfg.output_dim
         return self.cfg.d_model
 
     def _mel_frames(self, n_samples: int) -> int:
@@ -299,8 +322,12 @@ class ContinuousAudioIO(AbsIO):
         if sr != self.sample_rate:
             n = int(np.ceil(n * self.sample_rate / sr))
         n = min(n, self.max_samples)
+        frames = self._mel_frames(n)
+        if self.encoder_type == "qwen_omni":
+            # conv stride-2 ceil then ×2 avg-pool floor (Omni tower math)
+            return max(((frames - 1) // 2 + 1) // 2, 1)
         # conv stride-2 + avgpool ×2 (audio.py:1092-1095 length math)
-        return max(feat_extract_output_length(self._mel_frames(n)), 1)
+        return max(feat_extract_output_length(frames), 1)
 
     def preprocess(self, data):
         """(wav, sr) → zero token placeholders + (length, mel) conti_feat."""
@@ -328,11 +355,23 @@ class ContinuousAudioIO(AbsIO):
             sample_rate=self.sample_rate,
             max_seconds=self.max_samples / self.sample_rate,
             hop_length=self.hop_length, n_fft=self.n_fft,
+            encoder_type=self.encoder_type,
         )
 
     def encode_batch(self, feats: jax.Array, lengths: jax.Array) -> jax.Array:
-        """[B, frames, n_mels] mel batches → tower features [B, L, D]."""
+        """[B, frames, n_mels] mel batches → tower features [B, L, D].
+
+        lengths are MEL-frame lengths; the omni path pads the frame axis
+        to the tower's 2·n_window chunking and returns features already
+        zeroed past each sample's output length."""
         assert self.tower is not None, "worker copy cannot encode"
         mel = jnp.swapaxes(feats, -1, -2)
+        if self.encoder_type == "qwen_omni":
+            w = 2 * self.cfg.n_window
+            pad = (-mel.shape[-1]) % w
+            if pad:
+                mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)))
+            out, _ = self.tower.apply(self.tower_variables, mel, lengths)
+            return out
         frame_mask = jnp.arange(mel.shape[-1])[None, :] < lengths[:, None]
         return self.tower.apply(self.tower_variables, mel, frame_mask)

@@ -261,6 +261,7 @@ def main(argv=None):
         choices=[
             "a2sb_unet", "oobleck_encoder", "oobleck_decoder", "etta_dit",
             "t5_encoder", "ualm_backbone", "whisper_tower", "xcodec",
+            "omni_tower",
         ],
         required=True,
     )
@@ -365,6 +366,16 @@ def main(argv=None):
         cfg = infer_xcodec_config(sd)
         print(f"inferred {cfg}")
         params = convert_hf_xcodec(sd, cfg)
+    elif args.kind == "omni_tower":
+        # Qwen2.5-Omni thinker audio tower (UALM audio.py:929-958) →
+        # flax OmniAudioTower
+        from audio_intelligence_tpu.models.ualm.omni_tower import (
+            convert_omni_tower,
+            infer_omni_config,
+        )
+
+        print(f"inferred {infer_omni_config(sd, num_heads=args.num_heads)}")
+        params = convert_omni_tower(sd)
     else:
         params = convert_oobleck(sd, args.n_blocks, decoder=True)
 
