@@ -341,9 +341,12 @@ class RotaryAttention2d(nn.Module):
         v = v.reshape(b, self.num_heads, h * w, head_dim)
 
         if self.use_flash and (h * w) % 256 == 0 and head_dim % 32 == 0:
-            from audio_intelligence_tpu.ops.pallas_attention import flash_attention
+            # full-K-in-VMEM pallas kernel: 7.2 ms vs XLA's 10.1 ms at the
+            # level-3 [8·8, 4096, 96] blocks (PERF.md round 2); falls back
+            # to the streaming flash kernel for longer sequences
+            from audio_intelligence_tpu.ops.pallas_attention import fullkv_attention
 
-            out = flash_attention(q, k, v, block_q=256, block_k=256)
+            out = fullkv_attention(q, k, v, block_q=256)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
             # keep bf16 operands on the MXU, accumulate fp32

@@ -88,6 +88,7 @@ def bench_a2sb():
         n_attn_heads=8,
         num_res_blocks=2,
         conv_impl="int8",
+        use_flash=True,
     )
     sched = BridgeSchedule(beta_max=1.0)
 

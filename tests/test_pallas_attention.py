@@ -46,3 +46,24 @@ def test_flash_bf16():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_fullkv_matches_reference():
+    """Full-K-in-VMEM kernel (the UNet spatial-attention fast path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_intelligence_tpu.ops.pallas_attention import (
+        attention_reference,
+        fullkv_attention,
+    )
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 512, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 512, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 512, 64), jnp.float32)
+    out = fullkv_attention(q, k, v, block_q=256, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-3
+    )
