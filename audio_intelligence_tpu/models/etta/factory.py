@@ -12,8 +12,12 @@ from __future__ import annotations
 from typing import Any
 
 from audio_intelligence_tpu.models.etta.bottleneck import (
+    DACRVQBottleneck,
+    DACRVQVAEBottleneck,
     FSQBottleneck,
     L2Bottleneck,
+    RVQBottleneck,
+    RVQVAEBottleneck,
     TanhBottleneck,
     VAEBottleneck,
     WassersteinBottleneck,
@@ -41,6 +45,27 @@ def create_bottleneck_from_config(cfg: dict):
         "wasserstein": WassersteinBottleneck,
         "fsq": FSQBottleneck,
     }
+    # quantizer bottlenecks (reference factory quantizer_kwargs pass-through,
+    # bottleneck.py:150-316); lucidrains kwarg names map onto the flax fields
+    if kind in ("rvq", "rvq_vae"):
+        cls = RVQBottleneck if kind == "rvq" else RVQVAEBottleneck
+        return cls(
+            num_quantizers=config.get("num_quantizers", 8),
+            codebook_size=config.get("codebook_size", 1024),
+            dim=config.get("dim", 256),
+        )
+    if kind in ("dac_rvq", "dac_rvq_vae"):
+        kwargs = dict(
+            n_codebooks=config.get("n_codebooks", 9),
+            codebook_size=config.get("codebook_size", 1024),
+            codebook_dim=config.get("codebook_dim", 8),
+            quantize_on_decode=config.get("quantize_on_decode", False),
+        )
+        if kind == "dac_rvq":
+            return DACRVQBottleneck(
+                noise_augment_dim=config.get("noise_augment_dim", 0), **kwargs
+            )
+        return DACRVQVAEBottleneck(**kwargs)
     if kind not in table:
         raise ValueError(f"unknown bottleneck type {kind}")
     kwargs = {}
