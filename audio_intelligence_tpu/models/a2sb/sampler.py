@@ -57,6 +57,7 @@ def multidiffusion_vf(
     win_length: int = 256,
     hop_length: int = 128,
     chunk_size: int = 16,
+    layout: str = "nhwc",
 ) -> jax.Array:
     """Overlap-averaged vector field over sliding windows of the frame axis.
 
@@ -64,12 +65,21 @@ def multidiffusion_vf(
     chunks of ``chunk_size`` windows via ``lax.map`` to bound activation
     memory (mirroring the reference's batched chunking at
     A2SB/diffusion.py:44-51). x_t must already be padded to full hops.
+
+    ``layout="nchw"``: x_t and vf_fn windows are channels-first
+    [B/N, C, H, frames] (frames on the minor axis — the padded-lane-free
+    layout the bridge scan carries; see bridge_sample).
     """
-    b, h, w, c = x_t.shape
+    cf = layout == "nchw"
+    f_ax = 3 if cf else 2  # frame axis
+    if cf:
+        b, c, h, w = x_t.shape
+    else:
+        b, h, w, c = x_t.shape
     num_hops = (w - (win_length - hop_length)) // hop_length
 
     def eval_windows(wins):
-        """Run the model over [N, H, win, C] windows in plain batched calls
+        """Run the model over [N, ...] windows in plain batched calls
         of ≤chunk_size (static unrolled chunks — a vmapped lax.map lowers
         the convs noticeably worse on TPU)."""
         n = wins.shape[0]
@@ -78,28 +88,43 @@ def multidiffusion_vf(
             outs.append(vf_fn(wins[s : min(s + chunk_size, n)], t))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    win_shape = (
+        (b, c, h, num_hops, win_length) if cf else (b, h, num_hops, win_length, c)
+    )
+    hop_ax = 3 if cf else 2
+
     if hop_length == win_length:
         # non-overlapping windows: pure reshape, no gather/scatter traffic
-        wins = x_t.reshape(b, h, num_hops, win_length, c)
-        wins = jnp.moveaxis(wins, 2, 0).reshape(num_hops * b, h, win_length, c)
+        wins = x_t.reshape(win_shape)
+        wins = jnp.moveaxis(wins, hop_ax, 0)
+        wins = wins.reshape((num_hops * b,) + wins.shape[2:])
         vf = eval_windows(wins)
-        vf = jnp.moveaxis(vf.reshape(num_hops, b, h, win_length, c), 0, 2)
-        return vf.reshape(b, h, w, c)
+        vf = jnp.moveaxis(vf.reshape((num_hops, b) + vf.shape[1:]), 0, hop_ax)
+        return vf.reshape(x_t.shape)
 
     starts = jnp.arange(num_hops) * hop_length
     idx = starts[:, None] + jnp.arange(win_length)[None, :]  # [hops, win]
 
-    wins = jnp.take(x_t, idx.reshape(-1), axis=2)  # [B, H, hops*win, C]
-    wins = wins.reshape(b, h, num_hops, win_length, c)
-    wins = jnp.moveaxis(wins, 2, 0).reshape(num_hops * b, h, win_length, c)
+    wins = jnp.take(x_t, idx.reshape(-1), axis=f_ax)
+    wins = wins.reshape(win_shape)
+    wins = jnp.moveaxis(wins, hop_ax, 0)
+    wins = wins.reshape((num_hops * b,) + wins.shape[2:])
 
     vf = eval_windows(wins)
-    vf = vf.reshape(num_hops, b, h, win_length, c)
-    vf = jnp.moveaxis(vf, 0, 2)  # [B, H, hops, win, C]
+    vf = jnp.moveaxis(vf.reshape((num_hops, b) + vf.shape[1:]), 0, hop_ax)
 
     out = jnp.zeros_like(x_t)
-    out = out.at[:, :, idx.reshape(-1), :].add(vf.reshape(b, h, num_hops * win_length, c))
-    counts = jnp.zeros((w,), x_t.dtype).at[idx.reshape(-1)].add(1.0)
+    flat_idx = idx.reshape(-1)
+    if cf:
+        out = out.at[:, :, :, flat_idx].add(
+            vf.reshape(b, c, h, num_hops * win_length)
+        )
+        counts = jnp.zeros((w,), x_t.dtype).at[flat_idx].add(1.0)
+        return out / counts[None, None, None, :]
+    out = out.at[:, :, flat_idx, :].add(
+        vf.reshape(b, h, num_hops * win_length, c)
+    )
+    counts = jnp.zeros((w,), x_t.dtype).at[flat_idx].add(1.0)
     return out / counts[None, None, :, None]
 
 
@@ -201,6 +226,7 @@ def bridge_sample(
     hop_length: int | None = None,
     chunk_size: int = 16,
     return_all: bool = False,
+    vf_layout: str = "nhwc",
 ) -> jax.Array:
     """Sample x₀ from the bridge posterior, starting at the corrupted x₁.
 
@@ -238,6 +264,15 @@ def bridge_sample(
         mask = to_cf(mask)
 
     def eval_vf(x_t_cf, t):
+        if vf_layout == "nchw":
+            # the model consumes/produces channels-first directly (UNet
+            # io_layout="nchw") — no boundary transposes at all
+            if use_md:
+                return multidiffusion_vf(
+                    vf_fn, x_t_cf, t, win_length, hop_length, chunk_size,
+                    layout="nchw",
+                )
+            return vf_fn(x_t_cf, t)
         x_t = to_cl(x_t_cf)
         if use_md:
             return to_cf(

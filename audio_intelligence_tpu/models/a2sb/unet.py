@@ -56,6 +56,10 @@ class QConv(nn.Module):
     kernel_init: any = nn.initializers.lecun_normal()
     bias_init: any = nn.initializers.zeros
     impl: str = "bf16"
+    # conv I/O layouts ("NHWC"/"NCHW"): boundary convs with C=3 read/write
+    # channels-first to avoid the ~42× lane padding of a 3-wide minor axis
+    in_layout: str = "NHWC"
+    out_layout: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
@@ -63,8 +67,9 @@ class QConv(nn.Module):
 
         values = x.q if isinstance(x, QTensor) else x
         kh, kw = self.kernel_size
+        c_in = values.shape[self.in_layout.index("C")]
         kernel = self.param(
-            "kernel", self.kernel_init, (kh, kw, values.shape[-1], self.features)
+            "kernel", self.kernel_init, (kh, kw, c_in, self.features)
         )
         bias = (
             self.param("bias", self.bias_init, (self.features,))
@@ -77,16 +82,19 @@ class QConv(nn.Module):
         if self.impl == "int8":
             wdtype = jnp.bfloat16 if isinstance(x, QTensor) else x.dtype
             return quant_conv2d(
-                x, kernel.astype(wdtype), bias, self.strides, pad
+                x, kernel.astype(wdtype), bias, self.strides, pad,
+                in_layout=self.in_layout, out_layout=self.out_layout,
             )
         dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            x.shape, kernel.shape, (self.in_layout, "HWIO", self.out_layout)
         )
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype), self.strides, pad, dimension_numbers=dn
         )
         if bias is not None:
-            y = y + bias.astype(y.dtype)
+            bshape = [1] * 4
+            bshape[self.out_layout.index("C")] = self.features
+            y = y + bias.astype(y.dtype).reshape(bshape)
         return y
 
 
@@ -389,6 +397,12 @@ class AttnUNetF(nn.Module):
     # "bf16" (exact) or "int8" (2× MXU rate, ~0.5% relative quantization
     # error — the restore-bench fast path; attention stays bf16)
     conv_impl: str = "bf16"
+    # "nhwc" (public default) or "nchw": accept [B, C, H, W] in/out via the
+    # boundary convs' dimension_numbers. The bridge sampler carries its
+    # state channels-first (C=3 on the lane axis pads ~42×); nchw IO lets
+    # the model consume/produce that layout directly, deleting the padded
+    # boundary transposes (profiled at ~7 ms/step total, PERF.md round 2)
+    io_layout: str = "nhwc"
 
     def _level_band_emb(self, n_bands, dtype):
         if self.band_embedding_dim == 0:
@@ -425,8 +439,9 @@ class AttnUNetF(nn.Module):
                     )(h)
             return h
 
+        in_spec = "NCHW" if self.io_layout == "nchw" else "NHWC"
         h = QConv(hc[0], (3, 3), padding=1, impl=self.conv_impl,
-                  name="input_projection")(x)
+                  in_layout=in_spec, name="input_projection")(x)
 
         skips = []
         for level in range(n):
@@ -465,14 +480,31 @@ class AttnUNetF(nn.Module):
             # int32→bf16 rescale and materializes it in f32 (profiled at
             # 2.6 ms per level on [8, 512, 128, 256])
             (h,) = jax.lax.optimization_barrier((h,))
-            b, hh, ww, cc = h.shape
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+            if self.conv_impl == "int8":
+                # quantize BEFORE the ×4 repeat: nearest-neighbour upsample
+                # commutes with per-tensor quantization, so the absmax +
+                # round run on ¼ the elements and the broadcast moves int8
+                # (¼ bf16 / ⅛ the f32 XLA otherwise materializes here)
+                from audio_intelligence_tpu.ops.quant import (
+                    QTensor,
+                    quantize_int8,
+                )
+
+                s_x = jnp.max(jnp.abs(h.astype(jnp.float32)))
+                s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
+                hq = quantize_int8(h, s_x)
+                hq = jnp.repeat(jnp.repeat(hq, 2, axis=1), 2, axis=2)
+                h = QTensor(hq, s_x)
+            else:
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
             h = QConv(hc[n - level - 1], (3, 3), padding=1, impl=self.conv_impl,
                       name=f"up{level}")(h)
 
         out_norm = GroupNorm32(name="out_norm")
+        out_spec = "NCHW" if self.io_layout == "nchw" else "NHWC"
         out_proj = QConv(self.out_channels, (3, 3), padding=1,
-                         impl=self.conv_impl, name="output_projection")
+                         impl=self.conv_impl, out_layout=out_spec,
+                         name="output_projection")
         if self.conv_impl == "int8":
             return out_proj(out_norm(h, silu_quant=True))
         return out_proj(jax.nn.silu(out_norm(h)))

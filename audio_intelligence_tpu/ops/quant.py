@@ -59,14 +59,21 @@ def quant_conv2d(
     strides=(1, 1),
     padding="SAME",
     out_dtype=None,
+    in_layout: str = "NHWC",
+    out_layout: str = "NHWC",
 ) -> jax.Array:
-    """int8×int8 NHWC/HWIO convolution with fp32 rescale.
+    """int8×int8 convolution (HWIO kernel) with fp32 rescale.
 
     Drop-in for the bf16 ``nn.Conv`` apply: same operands, same output
     dtype as ``x``; quantization error ~0.5% relative (gated in
     tests/test_quant.py and by the int8-vs-bf16 restore LSD in PERF.md).
     ``x`` may be a :class:`QTensor` from a fused producer epilogue, in
     which case the dynamic-quantization passes are skipped entirely.
+
+    ``in_layout``/``out_layout`` let boundary convs read/write
+    channels-first directly — the A2SB UNet's 3-channel input/output in
+    NHWC puts C=3 on the 128-lane axis and TPU tiling pads it ~42×; the
+    NCHW spec makes XLA produce the exactly-tiled layout instead.
     """
     if isinstance(x, QTensor):
         x_q, s_x = x.q, x.scale
@@ -81,7 +88,7 @@ def quant_conv2d(
     w_q = quantize_int8(kernel, s_w[None, None, None, :])
 
     dn = jax.lax.conv_dimension_numbers(
-        x_q.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+        x_q.shape, kernel.shape, (in_layout, "HWIO", out_layout)
     )
     y = jax.lax.conv_general_dilated(
         x_q,
@@ -91,7 +98,10 @@ def quant_conv2d(
         dimension_numbers=dn,
         preferred_element_type=jnp.int32,
     )
-    y = y.astype(jnp.float32) * (s_x * s_w)[None, None, None, :]
+    c_axis = out_layout.index("C")
+    bshape = [1] * 4
+    bshape[c_axis] = s_w.shape[0]
+    y = y.astype(jnp.float32) * (s_x * s_w.reshape(bshape))
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(jnp.float32).reshape(bshape)
     return y.astype(in_dtype)

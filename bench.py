@@ -89,6 +89,7 @@ def bench_a2sb():
         num_res_blocks=2,
         conv_impl="int8",
         use_flash=True,
+        io_layout="nchw",
     )
     sched = BridgeSchedule(beta_max=1.0)
 
@@ -110,10 +111,12 @@ def bench_a2sb():
     x1 = (x1 * (1 - mask) + mask * 0.5 * jax.random.normal(jax.random.PRNGKey(0), x1.shape)).astype(dtype)
     mask = mask.astype(dtype)
 
-    # params via eval_shape (no init compile), true bf16
+    # params via eval_shape (no init compile), true bf16; the model runs
+    # channels-first IO (io_layout="nchw"), so the init example transposes
+    x_init = jnp.moveaxis(x1[:, :, :WIN, :], -1, 1)
     te0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128).astype(dtype)
     shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), x1[:, :, :WIN, :], te0)
+        lambda: model.init(jax.random.PRNGKey(0), x_init, te0)
     )
     params = _zeros_like_shapes(jax, shapes, dtype)
 
@@ -129,6 +132,7 @@ def bench_a2sb():
         out = bridge_sample(
             vf, sched, key, x1, t_steps, mask=mask,
             win_length=WIN, hop_length=WIN, chunk_size=N_FRAMES // WIN,
+            vf_layout="nchw",
         )
         # scalar checksum: forces execution; fetching the full spectrogram
         # through the dev tunnel would time the transfer, not the chip

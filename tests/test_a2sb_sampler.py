@@ -176,3 +176,70 @@ def test_train_step_decreases_loss_tiny():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_bridge_sample_vf_layout_nchw_matches():
+    """vf_layout="nchw" (channels-first model IO end-to-end, no boundary
+    transposes) produces the same restore as the NHWC path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.a2sb.bridge import BridgeSchedule
+    from audio_intelligence_tpu.models.a2sb.sampler import bridge_sample
+    from audio_intelligence_tpu.models.a2sb.unet import (
+        AttnUNetF,
+        sinusoidal_temporal_embedding,
+    )
+
+    kw = dict(
+        n_updown_levels=2, hidden_channels=(8, 16, 16), emb_channels=8,
+        band_embedding_dim=4, attention_levels=(1,), n_attn_heads=1,
+        num_res_blocks=1, rotary_dim=2, p_dropout=0.0,
+    )
+    m_cl = AttnUNetF(**kw)
+    m_cf = AttnUNetF(**kw, io_layout="nchw")
+    sched = BridgeSchedule(beta_max=1.0)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    mask = jnp.asarray(
+        (rng.random((1, 16, 16, 3)) > 0.5).astype(np.float32)
+    )
+    t_steps = jnp.linspace(1.0, 0.1, 6)
+    params = m_cl.init(
+        jax.random.PRNGKey(0), x1[:, :, :8, :],
+        sinusoidal_temporal_embedding(jnp.asarray([0.5]), 8),
+    )
+
+    def vf_cl(x, t):
+        te = sinusoidal_temporal_embedding(jnp.broadcast_to(t, (x.shape[0],)), 8)
+        return m_cl.apply(params, x, te)
+
+    def vf_cf(x, t):
+        te = sinusoidal_temporal_embedding(jnp.broadcast_to(t, (x.shape[0],)), 8)
+        return m_cf.apply(params, x, te)
+
+    out_cl = bridge_sample(
+        vf_cl, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
+        win_length=8, hop_length=8, chunk_size=2,
+    )
+    out_cf = bridge_sample(
+        vf_cf, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
+        win_length=8, hop_length=8, chunk_size=2, vf_layout="nchw",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cl), np.asarray(out_cf), atol=1e-4, rtol=1e-4
+    )
+
+    # overlapping windows (hop < win) through the channels-first gather path
+    out_cf_ov = bridge_sample(
+        vf_cf, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
+        win_length=8, hop_length=4, chunk_size=3, vf_layout="nchw",
+    )
+    out_cl_ov = bridge_sample(
+        vf_cl, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
+        win_length=8, hop_length=4, chunk_size=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cl_ov), np.asarray(out_cf_ov), atol=1e-4, rtol=1e-4
+    )

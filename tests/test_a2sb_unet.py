@@ -115,3 +115,40 @@ def test_rotate_half_interleaved():
     np.testing.assert_allclose(
         np.asarray(rotate_half_interleaved(x)), [-2.0, 1.0, -4.0, 3.0]
     )
+
+
+def test_io_layout_nchw_matches_nhwc():
+    """io_layout="nchw" (channels-first boundary convs via conv
+    dimension_numbers — the padded-lane-free bench path) computes the
+    SAME function as the public NHWC interface, with identical params."""
+    m_cl = tiny_unet(p_dropout=0.0)
+    m_cf = tiny_unet(p_dropout=0.0, io_layout="nchw")
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 16, 3)), jnp.float32
+    )
+    t_emb = sinusoidal_temporal_embedding(jnp.asarray([0.3, 0.8]), 16)
+    params = m_cl.init(jax.random.PRNGKey(0), x, t_emb)
+    out_cl = m_cl.apply(params, x, t_emb)
+    out_cf = m_cf.apply(params, jnp.moveaxis(x, -1, 1), t_emb)
+    np.testing.assert_allclose(
+        np.asarray(out_cl), np.moveaxis(np.asarray(out_cf), 1, -1),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_io_layout_nchw_int8_matches_nhwc_int8():
+    """Same equivalence on the int8 path (incl. the quantize-before-
+    upsample reorder, which commutes exactly with nearest-neighbour ×2)."""
+    m_cl = tiny_unet(p_dropout=0.0, conv_impl="int8")
+    m_cf = tiny_unet(p_dropout=0.0, conv_impl="int8", io_layout="nchw")
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 32, 16, 3)), jnp.float32
+    )
+    t_emb = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 16)
+    params = m_cl.init(jax.random.PRNGKey(0), x, t_emb)
+    out_cl = m_cl.apply(params, x, t_emb)
+    out_cf = m_cf.apply(params, jnp.moveaxis(x, -1, 1), t_emb)
+    np.testing.assert_allclose(
+        np.asarray(out_cl), np.moveaxis(np.asarray(out_cf), 1, -1),
+        atol=2e-2, rtol=2e-2,
+    )
