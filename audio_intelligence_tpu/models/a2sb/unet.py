@@ -246,23 +246,18 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
-        # Σx / Σx² per (batch, channel) as MXU dots against a ones column:
-        # XLA's VPU reduce fusions run ~5× off HBM speed-of-light on the
-        # conv-chosen {3,0,2,1} layouts; the dot formulation measures ~20 %
-        # faster end-to-end on the GN+conv chain (PERF.md).
+        # Σx / Σx² per (batch, channel) as plain reductions: these fuse
+        # into the producing conv's epilogue (one shared read), unlike the
+        # round-1 MXU-dot formulation, which forced a reshape + a
+        # layout-converted copy of the whole map on the conv-chosen
+        # {3,0,2,1} layouts (profiled at ~22 ms/step total, round 2).
         n_rows = 1
         for d in x.shape[1:-1]:
             n_rows *= d
-        x2d = x.reshape(b, n_rows, c)
-        x32 = x2d.astype(jnp.float32)
-        ones_col = jnp.ones((n_rows, 1), jnp.float32)
-        sums = jnp.einsum(
-            "bnc,nk->bkc", x32, ones_col, preferred_element_type=jnp.float32
-        )[:, 0]
-        sums_sq = jnp.einsum(
-            "bnc,bnc,nk->bkc", x32, x32, ones_col,
-            preferred_element_type=jnp.float32,
-        )[:, 0]
+        x32 = x.astype(jnp.float32)
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        sums = jnp.sum(x32, axis=spatial_axes)  # [B, C]
+        sums_sq = jnp.sum(x32 * x32, axis=spatial_axes)
         n = n_rows * cg
         mean = sums.reshape(b, groups, cg).sum(-1) / n  # [B, groups]
         mean_sq = sums_sq.reshape(b, groups, cg).sum(-1) / n

@@ -84,6 +84,9 @@ def flash_attention(
     block_k = min(block_k, s)
     assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
     scale = 1.0 / math.sqrt(d)
+    # pallas on the CPU backend only runs interpreted (e.g. the CLI with
+    # AIT_PLATFORM=cpu)
+    interpret = interpret or jax.default_backend() == "cpu"
 
     if kv_mask is None:
         add_mask = jnp.zeros((b, 1, s), q.dtype)
@@ -155,6 +158,7 @@ def fullkv_attention(
     block_q = min(block_q, t)
     assert t % block_q == 0, (t, block_q)
     scale = 1.0 / math.sqrt(d)
+    interpret = interpret or jax.default_backend() == "cpu"
 
     qf = q.reshape(b * h, t, d)
     kf = k.reshape(b * h, s, d)

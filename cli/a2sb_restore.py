@@ -64,6 +64,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_scale", choices=["flagship", "small"], default="small",
                    help="flagship = A2SB pretrain.yaml architecture")
+    p.add_argument("--precision", choices=["fp32", "int8"], default="fp32",
+                   help="int8 = the production fast path (quantized convs, "
+                        "channels-first IO, pallas attention; ~0.5%% rel "
+                        "quantization error, bench-gated). Requires "
+                        "hop_length == win_length.")
     args = p.parse_args(argv)
 
     import jax
@@ -116,20 +121,40 @@ def main(argv=None):
         x1 = x1 * (1 - mask) + mask * jax.random.normal(key, x1.shape) * 0.5
         args.n_steps = max(args.n_steps, 200) if args.n_steps == 50 else args.n_steps
 
+    fast = args.precision == "int8"
+    if fast and args.hop_length != args.win_length:
+        p.error("--precision int8 requires hop_length == win_length "
+                "(the window-layout scan fast path)")
+    fast_kw = dict(conv_impl="int8", io_layout="nchw", use_flash=True) if fast else {}
     if args.model_scale == "flagship":
-        model = AttnUNetF()
+        model = AttnUNetF(**fast_kw)
     else:
         model = AttnUNetF(
             n_updown_levels=3, hidden_channels=(32, 64, 96, 128),
             attention_levels=(2,), n_attn_heads=4, rotary_dim=8,
+            **fast_kw,
         )
     # init on a full window: the UNet needs W divisible by 2^levels and the
     # sampler always feeds win_length-frame windows
-    x_ex = jnp.zeros((1, h, args.win_length, 3))
+    x_ex = (
+        jnp.zeros((1, 3, h, args.win_length))
+        if fast
+        else jnp.zeros((1, h, args.win_length, 3))
+    )
     t_emb0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
     params = model.init(jax.random.PRNGKey(0), x_ex, t_emb0)
 
     sched = BridgeSchedule(beta_max=1.0)
+
+    def cast_params(p):
+        """bf16 params on the int8 fast path (the convs quantize from
+        bf16; fp32 elementwise would double HBM traffic)."""
+        if not fast:
+            return p
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            p,
+        )
 
     def make_vf(p):
         def vf(x_t, t):
@@ -145,7 +170,7 @@ def main(argv=None):
         from audio_intelligence_tpu.train.checkpoint import load_exported_weights
 
         assert len(args.checkpoints) == len(args.t_cutoffs) + 1
-        expert_params = [load_exported_weights(params, c) for c in args.checkpoints]
+        expert_params = [cast_params(load_exported_weights(params, c)) for c in args.checkpoints]
         vf = select_expert_vf([make_vf(p) for p in expert_params], args.t_cutoffs)
     else:
         if args.checkpoint:
@@ -154,7 +179,7 @@ def main(argv=None):
             params = load_exported_weights(params, args.checkpoint)
         else:
             print("WARNING: no --checkpoint given; using random weights (smoke mode)")
-        vf = make_vf(params)
+        vf = make_vf(cast_params(params))
 
     @jax.jit
     def restore(key, x1, mask):
@@ -163,9 +188,17 @@ def main(argv=None):
             vf, sched, key, x1, t_steps, mask=mask,
             win_length=args.win_length, hop_length=args.hop_length,
             chunk_size=args.chunk_size,
+            vf_layout="nchw" if fast else "nhwc",
         )
 
+    if fast:
+        x1 = x1.astype(jnp.bfloat16)
+        mask = mask.astype(jnp.bfloat16)
     out = restore(jax.random.PRNGKey(args.seed + 1), x1, mask)
+    if fast:
+        # the inverse STFT chain needs f32 (complex from bf16 is invalid)
+        out = out.astype(jnp.float32)
+        x1 = x1.astype(jnp.float32)
 
     @jax.jit
     def inv(msp_nhwc):
