@@ -76,8 +76,10 @@ def _kernel(
     s2_ref[...] += s2[None, :]
 
 
-def _pick_bh(h: int, w: int, c_out: int, budget: int = 4 << 20) -> int:
-    """Largest power-of-two H tile with a ≤4 MB int32 accumulator."""
+def _pick_bh(h: int, w: int, c_out: int, budget: int = 2 << 20) -> int:
+    """Largest power-of-two H tile with a ≤2 MB int32 accumulator (the
+    full working set — 3 double-buffered input blocks, accumulator, f32
+    epilogue, bf16 output — must fit the 16 MB VMEM)."""
     bh = max(8, min(h, budget // max(1, w * c_out * 4)))
     while h % bh:
         bh //= 2

@@ -152,3 +152,30 @@ def test_io_layout_nchw_int8_matches_nhwc_int8():
         np.asarray(out_cl), np.moveaxis(np.asarray(out_cf), 1, -1),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_upsample_conv2x_matches_repeat_conv():
+    """Sub-pixel phase convs == nearest-x2 repeat -> 3x3 conv, exactly
+    (bf16/f32 path) and within quantization tolerance (int8)."""
+    from audio_intelligence_tpu.models.a2sb.unet import QConv, UpsampleConv2x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 16)), jnp.float32)
+    ref_mod = QConv(12, (3, 3), padding=1)
+    up_mod = UpsampleConv2x(12)
+    params = ref_mod.init(
+        jax.random.PRNGKey(0), jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+    )
+    ref = ref_mod.apply(params, jnp.repeat(jnp.repeat(x, 2, 1), 2, 2))
+    out = up_mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    # int8: same quantized input scale by construction; weights quantize
+    # per phase, so agreement is at the quantization-noise level
+    ref_mod8 = QConv(12, (3, 3), padding=1, impl="int8")
+    up_mod8 = UpsampleConv2x(12, impl="int8")
+    ref8 = ref_mod8.apply(params, jnp.repeat(jnp.repeat(x, 2, 1), 2, 2))
+    out8 = up_mod8.apply(params, x)
+    err = np.abs(np.asarray(out8) - np.asarray(ref8)).max()
+    scale = np.abs(np.asarray(ref8)).max()
+    assert err < 0.05 * scale, (err, scale)
