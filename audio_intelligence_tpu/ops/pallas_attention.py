@@ -127,17 +127,22 @@ def _fullkv_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     """
     q = q_ref[:]  # bf16 [BLOCK_Q, D]
     k = k_ref[:]  # bf16 [S, D]
+    # scale carries log2(e): exp(x) == exp2(x·log2e), and exp2 is the
+    # native EUP op — saves a full-matrix multiply vs exp
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [BLOCK_Q, S] f32
+    ) * scale  # [BLOCK_Q, S] f32, already in log2 domain
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p16 = (p / jnp.maximum(l, 1e-30)).astype(v_ref.dtype)
-    o_ref[:] = jax.lax.dot_general(
+    # normalize AFTER the PV dot: dividing [BLOCK_Q, D] costs S/D fewer
+    # divides than normalizing the [BLOCK_Q, S] probability matrix
+    p16 = p.astype(v_ref.dtype)
+    acc = jax.lax.dot_general(
         p16, v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def fullkv_attention(
@@ -157,7 +162,7 @@ def fullkv_attention(
         return flash_attention(q, k, v, block_q=block_q, block_k=min(1024, s))
     block_q = min(block_q, t)
     assert t % block_q == 0, (t, block_q)
-    scale = 1.0 / math.sqrt(d)
+    scale = 1.4426950408889634 / math.sqrt(d)  # log2(e)/√d, see kernel
     interpret = interpret or jax.default_backend() == "cpu"
 
     qf = q.reshape(b * h, t, d)
