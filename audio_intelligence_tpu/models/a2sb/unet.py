@@ -472,6 +472,8 @@ class RotaryAttention2d(nn.Module):
     max_freq: float = 64.0
     use_input_norm: bool = True
     use_flash: bool = False
+    # int8 QK/PV dots (2× MXU rate; ~1% rel error) — the quantized path
+    qk_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -504,9 +506,13 @@ class RotaryAttention2d(nn.Module):
             # full-K-in-VMEM pallas kernel: 7.2 ms vs XLA's 10.1 ms at the
             # level-3 [8·8, 4096, 96] blocks (PERF.md round 2); falls back
             # to the streaming flash kernel for longer sequences
-            from audio_intelligence_tpu.ops.pallas_attention import fullkv_attention
+            from audio_intelligence_tpu.ops.pallas_attention import (
+                fullkv_attention,
+                fullkv_attention_q8,
+            )
 
-            out = fullkv_attention(q, k, v, block_q=256)
+            attn = fullkv_attention_q8 if self.qk_int8 else fullkv_attention
+            out = attn(q, k, v, block_q=256)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
             # keep bf16 operands on the MXU, accumulate fp32
@@ -587,6 +593,7 @@ class AttnUNetF(nn.Module):
                         rotary_dim=self.rotary_dim,
                         use_input_norm=self.use_attn_input_norm,
                         use_flash=self.use_flash,
+                        qk_int8=self.conv_impl == "int8",
                         name=f"{name}_attn{i}",
                     )(h)
             return h
@@ -615,6 +622,7 @@ class AttnUNetF(nn.Module):
             rotary_dim=self.rotary_dim,
             use_input_norm=self.use_attn_input_norm,
             use_flash=self.use_flash,
+            qk_int8=self.conv_impl == "int8",
             name="mid_attn",
         )(h)
         h = ResBlock(hc[-1], self.band_embedding_dim, self.p_dropout,

@@ -33,7 +33,8 @@ import time
 import numpy as np
 
 SAMPLE_RATE = 44100
-N_FRAMES = 2048  # → 8 windows of 256
+N_FRAMES = 2048  # → 8 windows of 256 (16-wide measured 0.6% SLOWER —
+# the conv stack is MXU-bound, so wider batches only add HBM pressure)
 SEGMENT_SAMPLES = N_FRAMES * 512  # 23.78 s
 N_STEPS = 50
 WIN = 256

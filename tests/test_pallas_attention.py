@@ -67,3 +67,25 @@ def test_fullkv_matches_reference():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-3
     )
+
+
+def test_fullkv_q8_close_to_reference():
+    """int8-QK (bf16 PV) attention: ~1% relative error vs exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audio_intelligence_tpu.ops.pallas_attention import (
+        attention_reference,
+        fullkv_attention_q8,
+    )
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 512, 64), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 512, 64), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 512, 64), jnp.float32)
+    out = fullkv_attention_q8(q, k, v, block_q=256, interpret=True)
+    ref = attention_reference(q, k, v)
+    rel = np.abs(np.asarray(out) - np.asarray(ref)).max() / np.abs(
+        np.asarray(ref)
+    ).max()
+    assert rel < 0.03, rel
