@@ -60,9 +60,14 @@ class QConv(nn.Module):
     # channels-first to avoid the ~42× lane padding of a 3-wide minor axis
     in_layout: str = "NHWC"
     out_layout: str = "NHWC"
+    # int8 3×3 stride-1 only: run the pallas conv whose epilogue also
+    # emits the NEXT GroupNorm's (Σ, Σ²) — returns (y, (sums, sums_sq));
+    # an optional ``residual`` call arg is added before the stats (the
+    # ResBlock skip), see ops/pallas_conv.py
+    with_stats: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         from audio_intelligence_tpu.ops.quant import QTensor
 
         values = x.q if isinstance(x, QTensor) else x
@@ -79,6 +84,27 @@ class QConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
+        if self.with_stats:
+            from audio_intelligence_tpu.ops.pallas_conv import (
+                conv3x3_int8_stats,
+            )
+            from audio_intelligence_tpu.ops.quant import quantize_int8
+
+            assert self.impl == "int8" and (kh, kw) == (3, 3)
+            assert self.strides == (1, 1) and pad == ((1, 1), (1, 1))
+            if isinstance(x, QTensor):
+                x_q, s_x = x.q, x.scale
+            else:
+                s_x = jnp.max(jnp.abs(values.astype(jnp.float32)))
+                s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
+                x_q = quantize_int8(values, s_x)
+            y, sums, sums_sq = conv3x3_int8_stats(
+                x_q, s_x, kernel.astype(jnp.bfloat16), bias,
+                residual=residual,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return y, (sums, sums_sq)
+        assert residual is None
         if self.impl == "int8":
             wdtype = jnp.bfloat16 if isinstance(x, QTensor) else x.dtype
             return quant_conv2d(
@@ -304,11 +330,16 @@ class GroupNorm32(nn.Module):
     k_sigma: float = 5.0
 
     @nn.compact
-    def __call__(self, x, cond=None, silu_quant: bool = False):
+    def __call__(self, x, cond=None, silu_quant: bool = False, stats=None):
         """Normalize; optionally apply conditioning ``cond=(scale, shift)``
         (the ResBlock's scale-shift, broadcastable to x) and, with
         ``silu_quant=True``, fuse SiLU + int8 quantization into the same
         elementwise pass and return a ``QTensor``.
+
+        ``stats=(Σx, Σx²)`` ([B, C] fp32 each) skips the statistics
+        reduction entirely — the producing conv's epilogue already
+        computed them (QConv ``with_stats``/ops.pallas_conv), saving a
+        full-map read per GroupNorm.
 
         The quantization scale is ANALYTIC — from (γ, β, cond) only, never
         from the data: post-GN activations are standardized, so
@@ -333,10 +364,13 @@ class GroupNorm32(nn.Module):
         n_rows = 1
         for d in x.shape[1:-1]:
             n_rows *= d
-        x32 = x.astype(jnp.float32)
-        spatial_axes = tuple(range(1, x.ndim - 1))
-        sums = jnp.sum(x32, axis=spatial_axes)  # [B, C]
-        sums_sq = jnp.sum(x32 * x32, axis=spatial_axes)
+        if stats is not None:
+            sums, sums_sq = stats
+        else:
+            x32 = x.astype(jnp.float32)
+            spatial_axes = tuple(range(1, x.ndim - 1))
+            sums = jnp.sum(x32, axis=spatial_axes)  # [B, C]
+            sums_sq = jnp.sum(x32 * x32, axis=spatial_axes)
         n = n_rows * cg
         mean = sums.reshape(b, groups, cg).sum(-1) / n  # [B, groups]
         mean_sq = sums_sq.reshape(b, groups, cg).sum(-1) / n
@@ -421,17 +455,26 @@ class ResBlock(nn.Module):
     conv_impl: str = "bf16"
 
     @nn.compact
-    def __call__(self, x, t_emb, band_emb, deterministic: bool = True):
+    def __call__(self, x, t_emb, band_emb, deterministic: bool = True,
+                 stats_in=None, stats_mode: bool = False,
+                 plain_out_conv: bool = False):
         # int8 + no dropout (inference): fuse GN→SiLU→quantize into one
         # pass with the analytic scale, feeding QTensors straight into the
         # convs (the restore bench path). Training/bf16 keeps the exact
         # reference dataflow.
+        #
+        # stats_mode (int8 only): the convs run the pallas stats-epilogue
+        # kernel, the GroupNorms consume producer-computed (Σ, Σ²), and
+        # the call returns ``(out, stats_of_out)`` so the NEXT ResBlock's
+        # first GroupNorm also skips its statistics read. The LAST block
+        # before a non-elementwise consumer (down conv) sets
+        # ``plain_out_conv`` to avoid a pallas/XLA layout seam.
         fused = self.conv_impl == "int8" and (
             deterministic or self.p_dropout == 0.0
         )
         in_norm = GroupNorm32()
         in_conv = QConv(self.channels, (3, 3), padding=1, impl=self.conv_impl,
-                        name="in_conv")
+                        with_stats=stats_mode and fused, name="in_conv")
         ss = ScaleShiftEmbed(self.channels, self.band_dim, name="emb_proj")(
             t_emb, band_emb
         )
@@ -444,8 +487,16 @@ class ResBlock(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             impl=self.conv_impl,
+            with_stats=stats_mode and fused and not plain_out_conv,
             name="out_conv",
         )
+        if fused and stats_mode:
+            h, st_h = in_conv(in_norm(x, silu_quant=True, stats=stats_in))
+            h_q = out_norm(h, cond=(scale, shift), silu_quant=True, stats=st_h)
+            if plain_out_conv:
+                return x + out_conv(h_q), None
+            out, st_out = out_conv(h_q, residual=x)
+            return out, st_out
         if fused:
             h = in_conv(in_norm(x, silu_quant=True))
             h = out_conv(out_norm(h, cond=(scale, shift), silu_quant=True))
@@ -561,6 +612,9 @@ class AttnUNetF(nn.Module):
     # the model consume/produce that layout directly, deleting the padded
     # boundary transposes (profiled at ~7 ms/step total, PERF.md round 2)
     io_layout: str = "nhwc"
+    # int8 only: ResBlock convs at attention-free levels run the pallas
+    # stats-epilogue kernel so the GroupNorms skip their statistics reads
+    stats_epilogue: bool = False
 
     def _level_band_emb(self, n_bands, dtype):
         if self.band_embedding_dim == 0:
@@ -582,11 +636,30 @@ class AttnUNetF(nn.Module):
 
         def block_stack(h, ch, use_attn, name):
             band = self._level_band_emb(h.shape[1], h.dtype)
+            # stats-epilogue chain: within an attention-free level the
+            # ResBlock convs emit the next GroupNorm's (Σ, Σ²) from their
+            # pallas epilogues, so no GN re-reads the map for statistics;
+            # the level's last out_conv stays XLA (its consumer is the
+            # down/up conv, which wants its own operand layout)
+            stats_chain = (
+                self.stats_epilogue
+                and self.conv_impl == "int8"
+                and not use_attn
+            )
+            stats = None
             for i in range(self.num_res_blocks):
-                h = ResBlock(
+                rb = ResBlock(
                     ch, self.band_embedding_dim, self.p_dropout,
                     conv_impl=self.conv_impl, name=f"{name}_res{i}"
-                )(h, t_emb, band, deterministic)
+                )
+                if stats_chain:
+                    h, stats = rb(
+                        h, t_emb, band, deterministic, stats_in=stats,
+                        stats_mode=True,
+                        plain_out_conv=i == self.num_res_blocks - 1,
+                    )
+                else:
+                    h = rb(h, t_emb, band, deterministic)
                 if use_attn:
                     h = RotaryAttention2d(
                         num_heads=self.n_attn_heads,

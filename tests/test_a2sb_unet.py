@@ -179,3 +179,20 @@ def test_upsample_conv2x_matches_repeat_conv():
     err = np.abs(np.asarray(out8) - np.asarray(ref8)).max()
     scale = np.abs(np.asarray(ref8)).max()
     assert err < 0.05 * scale, (err, scale)
+
+
+def test_stats_epilogue_matches_plain_int8():
+    """stats_epilogue (pallas conv + producer-fed GroupNorm statistics)
+    computes the same function as the plain int8 path."""
+    m_plain = tiny_unet(p_dropout=0.0, conv_impl="int8")
+    m_stats = tiny_unet(p_dropout=0.0, conv_impl="int8", stats_epilogue=True)
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 32, 16, 3)), jnp.float32
+    )
+    t_emb = sinusoidal_temporal_embedding(jnp.asarray([0.4]), 16)
+    params = m_plain.init(jax.random.PRNGKey(0), x, t_emb)
+    out_p = m_plain.apply(params, x, t_emb)
+    out_s = m_stats.apply(params, x, t_emb)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_s), atol=5e-3, rtol=5e-3
+    )
