@@ -71,3 +71,67 @@ def peak_normalize(x: np.ndarray, peak: float = 0.95) -> np.ndarray:
         return _native.peak_normalize(x, peak)
     m = np.abs(x).max()
     return x * (peak / m) if m > 0 else x
+
+
+class WavPrefetcher:
+    """Threaded in-order WAV prefetch over (path, offset, size) byte ranges
+    — the C++ equivalent of the reference's DataLoader workers
+    (UALM tarball_reader.py + torch DataLoader num_workers): file IO and
+    PCM16 decode run in native threads with the GIL released; iteration
+    yields ``(sample_rate, float32 [C, T])`` in submission order with a
+    bounded lookahead window.
+
+    Pure-Python fallback (extension not built): a ThreadPoolExecutor with
+    the same ordering contract.
+    """
+
+    def __init__(self, jobs, workers: int = 4, depth: int = 16):
+        self._jobs = [(str(p), int(o), int(s)) for (p, o, s) in jobs]
+        self._n = len(self._jobs)
+        self._i = 0
+        if _native is not None and hasattr(_native, "prefetch_start"):
+            self._handle = _native.prefetch_start(self._jobs, workers, depth)
+            self._pool = None
+        else:
+            import concurrent.futures as cf
+
+            self._handle = None
+            self._pool = cf.ThreadPoolExecutor(max_workers=workers)
+            self._futures = [
+                self._pool.submit(self._read_one, j) for j in self._jobs
+            ]
+
+    @staticmethod
+    def _read_one(job):
+        import io
+        import wave
+
+        path, offset, size = job
+        with open(path, "rb") as f:
+            f.seek(offset)
+            buf = f.read(size)
+        with wave.open(io.BytesIO(buf), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        audio = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        return sr, audio.reshape(-1, ch).T.copy()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= self._n:
+            raise StopIteration
+        self._i += 1
+        if self._handle is not None:
+            out = _native.prefetch_next(self._handle)
+            if out is None:
+                raise StopIteration
+            return out
+        return self._futures[self._i - 1].result()
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+        self._handle = None

@@ -283,3 +283,33 @@ class TarballAudioReader:
         for f in self._open_files.values():
             f.close()
         self._open_files.clear()
+
+
+def prefetch_audio(
+    reader: "TarballAudioReader",
+    keys,
+    workers: int = 4,
+    depth: int = 16,
+):
+    """Iterate ``(key, audio [C, T] float32, sample_rate)`` over ``keys``
+    using the native threaded prefetcher (data/native.py WavPrefetcher):
+    tar-shard byte ranges are pread + PCM16-decoded by C++ worker threads
+    with the GIL released, in submission order — the TPU-framework
+    equivalent of the reference's ``DataLoader(num_workers=N)`` input
+    pipeline (UALM tarball_reader.py:226-342 + torch loader workers)."""
+    from audio_intelligence_tpu.data.native import WavPrefetcher
+
+    keys = list(keys)
+    jobs = []
+    for k in keys:
+        info = reader.meta[k]
+        jobs.append(
+            (os.path.join(reader.tar_dir, info.tar_path),
+             info.data_offset, info.data_size)
+        )
+    pf = WavPrefetcher(jobs, workers=workers, depth=depth)
+    try:
+        for k, (sr, audio) in zip(keys, pf):
+            yield k, audio, sr
+    finally:
+        pf.close()
