@@ -259,9 +259,17 @@ class STFTAudioDataModule:
         else:
             raise ValueError(f"unknown stage {stage!r}")
 
-    def train_dataloader(self, rng=None):
+    def train_dataloader(self, rng=None, prefetch_depth: int = 2):
+        """``prefetch_depth > 0`` runs batch assembly in a background
+        thread (data/prefetch.py), overlapping wav IO + decode with the
+        device step — the reference's DataLoader(num_workers=...) role."""
         rng = rng or np.random.default_rng(0)
-        return self.trainset.iter_batches(self.batch_size, rng, shuffle=True)
+        it = self.trainset.iter_batches(self.batch_size, rng, shuffle=True)
+        if prefetch_depth > 0:
+            from audio_intelligence_tpu.data.prefetch import background_batches
+
+            return background_batches(it, depth=prefetch_depth)
+        return it
 
     def val_dataloaders(self, rng=None):
         # fixed randomness per the reference's validation augmentation

@@ -85,3 +85,20 @@ def test_tar_shards_random_access(tmp_path):
     assert seg.shape == (1, sr // 2)
     np.testing.assert_allclose(seg, ref[:, sr // 4 : sr // 4 + sr // 2], atol=1e-6)
     reader.close()
+
+
+def test_background_batches_order_and_errors():
+    from audio_intelligence_tpu.data.prefetch import background_batches
+
+    assert list(background_batches(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise RuntimeError("loader died")
+
+    it = background_batches(boom(), depth=1)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="loader died"):
+        next(it)
