@@ -84,24 +84,43 @@ def generate_segment(
     top_k: int = 20,
     temperature: float = 0.8,
     max_cache_len: int | None = None,
+    stream_intervals: Sequence[Tuple[int, int]] | None = None,
 ):
     """Generate up to max_steps multi-stream frames after the prompt.
 
     Returns (tokens [B, max_steps, S], done_mask [B, max_steps] — True on
     frames at/after the stream-0 eos).
+
+    ``stream_intervals`` [(start, end)] × S (static): the narrow-decode
+    fast path for restricted decoding — instead of projecting the full
+    152k-vocab lm_head (the reference computes all-vocab logits then
+    masks, parallel.py:535-608; that matrix read is ~470 MB/token here),
+    slice each stream's codebook columns, run top-k/sampling locally, and
+    offset the sampled index back. Exact when the restriction IS the
+    interval (the inference.yaml audio-generation case); ``logit_mask``
+    still applies within the interval (sliced per stream).
     """
     b, t, s = prompt_ids.shape
     cfg = cfg_scale != 1.0
     max_cache_len = max_cache_len or (t + max_steps + 1)
+    # CFG runs the cond and uncond branches as ONE batch of 2B: decode at
+    # small batch is weight-streaming-bound (the 1.5B backbone reads its
+    # full parameters from HBM every token), so batching the branches
+    # halves the per-token weight traffic vs two sequential forwards
+    # (reference :489-492 also runs them separately; this is exact math,
+    # just batched).
+    nb = 2 * b if cfg else b
 
-    def prefill(ids, zero_context):
+    def prefill(ids):
         embeds = model.apply(variables, ids, method=ParallelLM.embed)
-        if zero_context:
-            embeds = jnp.zeros_like(embeds)
+        if cfg:
+            # second half = unconditional branch: the prompt context is
+            # zeroed, generated tokens stay visible in both branches
+            embeds = jnp.concatenate([embeds, jnp.zeros_like(embeds)], axis=0)
         cache = KVCache.init(
-            model.cfg, ids.shape[0], max_cache_len, dtype=embeds.dtype
+            model.cfg, nb, max_cache_len, dtype=embeds.dtype
         )
-        pos = jnp.broadcast_to(jnp.arange(t), (ids.shape[0], t))
+        pos = jnp.broadcast_to(jnp.arange(t), (nb, t))
         hidden, cache = model.apply(
             variables,
             embeds,
@@ -114,59 +133,84 @@ def generate_segment(
         )
         return stream_hidden, cache
 
-    sh_cond, cache_cond = prefill(prompt_ids, False)
-    if cfg:
-        sh_unc, cache_unc = prefill(prompt_ids, True)
+    sh0, cache0 = prefill(prompt_ids)
+
+    if stream_intervals is not None:
+        assert len(stream_intervals) == s
+        widths = [end - start for start, end in stream_intervals]
+        max_w = max(widths)
+        w_full = variables["params"]["lm_head_kernel"]  # [H, V]
+        # per-stream column slices, padded to the widest interval — a
+        # [S, H, max_w] gather done ONCE outside the scan
+        w_sel = jnp.stack(
+            [
+                jnp.pad(
+                    jax.lax.slice_in_dim(w_full, start, end, axis=1),
+                    ((0, 0), (0, max_w - (end - start))),
+                )
+                for start, end in stream_intervals
+            ]
+        )
+        starts = jnp.asarray([st for st, _ in stream_intervals])
+        width_arr = jnp.asarray(widths)
+        mask_sel = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(
+                    jnp.pad(logit_mask[i], (0, max_w)), start, max_w
+                )
+                for i, (start, _) in enumerate(stream_intervals)
+            ]
+        )
+        # pad columns beyond each stream's true width are invalid
+        col = jnp.arange(max_w)[None, :]
+        mask_sel = jnp.where(col < width_arr[:, None], mask_sel, -1e9)
 
     def logits_of(stream_hidden):
-        """[B, 1, S, H] → [B, S, V] (full vocab; restriction applied later)."""
+        """[N, 1, S, H] → [N, S, V|max_w] logits (narrow when intervals)."""
+        if stream_intervals is not None:
+            return jnp.einsum("bsh,shv->bsv", stream_hidden[:, 0], w_sel)
         w = variables["params"]["lm_head_kernel"]
         return jnp.einsum("bsh,hv->bsv", stream_hidden[:, 0], w)
 
-    def combined_logits(sh_c, sh_u):
-        lc = logits_of(sh_c)
+    def combined_logits(sh):
+        logits = logits_of(sh)
         if not cfg:
-            return lc
-        lu = logits_of(sh_u)
+            return logits
+        lc, lu = logits[:b], logits[b:]
         return lu + cfg_scale * (lc - lu)
 
     def step_fn(carry, step_key):
-        sh_c, cache_c, sh_u, cache_u, done = carry
-        logits = combined_logits(sh_c, sh_u) + logit_mask[None]
-        tokens = topk_temperature_sample(step_key, logits, top_k, temperature)
+        sh, cache, done = carry
+        if stream_intervals is not None:
+            logits = combined_logits(sh) + mask_sel[None]
+            local = topk_temperature_sample(step_key, logits, top_k, temperature)
+            tokens = local + starts[None, :]
+        else:
+            logits = combined_logits(sh) + logit_mask[None]
+            tokens = topk_temperature_sample(step_key, logits, top_k, temperature)
         # [B, S]; freeze to eos after done
         tokens = jnp.where(done[:, None], eos_id, tokens)
         new_done = done | (tokens[:, 0] == eos_id)
 
         ids = tokens[:, None, :]  # [B, 1, S]
-        pos = jnp.broadcast_to(cache_c.index[None, None], (b, 1))
-
-        def advance(cache, zero_context):
-            embeds = model.apply(variables, ids, method=ParallelLM.embed)
-            if zero_context:
-                embeds = embeds  # generated tokens stay visible in both branches
-            hidden, cache = model.apply(
-                variables,
-                embeds,
-                pos,
-                cache,
-                method=lambda m, e, p, c: m.backbone(e, p, c),
-            )
-            sh = model.apply(variables, hidden, method=ParallelLM.hidden_streams)
-            return sh, cache
-
-        sh_c, cache_c = advance(cache_c, False)
         if cfg:
-            sh_u, cache_u = advance(cache_u, True)
-        return (sh_c, cache_c, sh_u, cache_u, new_done), (tokens, new_done)
+            ids = jnp.concatenate([ids, ids], axis=0)  # both branches see it
+        pos = jnp.broadcast_to(cache.index[None, None], (nb, 1))
 
-    if not cfg:
-        sh_unc, cache_unc = sh_cond, cache_cond  # unused placeholders
+        embeds = model.apply(variables, ids, method=ParallelLM.embed)
+        hidden, cache = model.apply(
+            variables,
+            embeds,
+            pos,
+            cache,
+            method=lambda m, e, p, c: m.backbone(e, p, c),
+        )
+        sh = model.apply(variables, hidden, method=ParallelLM.hidden_streams)
+        return (sh, cache, new_done), (tokens, new_done)
+
     done0 = jnp.zeros((b,), bool)
     keys = jax.random.split(key, max_steps)
-    _, (tokens, done) = jax.lax.scan(
-        step_fn, (sh_cond, cache_cond, sh_unc, cache_unc, done0), keys
-    )
+    _, (tokens, done) = jax.lax.scan(step_fn, (sh0, cache0, done0), keys)
     return jnp.moveaxis(tokens, 0, 1), jnp.moveaxis(done, 0, 1)
 
 

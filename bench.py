@@ -235,12 +235,19 @@ def bench_ualm():
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), prompt))
     variables = _zeros_like_shapes(jax, shapes, dtype)
     logit_mask = jnp.zeros((num_stream, vocab), dtype)
+    # restricted decoding (inference.yaml): each audio stream samples only
+    # its own 1024-code interval (+specials on stream 0) — the narrow-
+    # decode path slices those lm_head columns instead of projecting the
+    # full 152k vocab every token (vocab.py per-IO interval layout)
+    base = 151000 - num_stream * 1026
+    intervals = [(base + i * 1026, base + (i + 1) * 1026) for i in range(num_stream)]
 
     @jax.jit
     def decode(variables, key):
         tokens, done = generate_segment(
             model, variables, prompt, n_steps, logit_mask,
-            eos_id=2, key=key, cfg_scale=3.0, top_k=20, temperature=0.8,
+            eos_id=intervals[0][0], key=key, cfg_scale=3.0, top_k=20,
+            temperature=0.8, stream_intervals=intervals,
         )
         return jnp.sum(tokens) + jnp.sum(done)
 

@@ -111,3 +111,47 @@ def test_top_p_sampling():
     for i in range(200):
         seen.add(int(top_p_sample(jax.random.PRNGKey(i), logits, top_p=1.0)[0]))
     assert len(seen) >= 3
+
+
+def test_narrow_decode_matches_full_restricted():
+    """stream_intervals narrow decode == full-vocab decode + interval mask
+    in the deterministic (argmax) regime."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.ualm.backbone import BackboneConfig
+    from audio_intelligence_tpu.models.ualm.decode import (
+        generate_segment,
+        restricted_logit_mask,
+    )
+    from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+
+    vocab, n_stream = 96, 3
+    cfg = BackboneConfig(
+        num_layers=2, hidden_size=32, num_heads=2, num_kv_heads=1,
+        intermediate_size=64,
+    )
+    model = ParallelLM(cfg=cfg, vocab_size=vocab, num_stream=n_stream)
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, vocab, (1, 6, n_stream)), jnp.int32
+    )
+    variables = model.init(jax.random.PRNGKey(0), prompt)
+
+    intervals = [(10, 40), (40, 70), (70, 96)]  # eos 12 inside stream 0
+    mask = jnp.asarray(
+        restricted_logit_mask(vocab, intervals, eos_ids=())
+    )
+    kw = dict(
+        max_steps=5, eos_id=12, key=jax.random.PRNGKey(1), cfg_scale=3.0,
+        top_k=1, temperature=1e-6,
+    )
+    tok_full, done_full = generate_segment(
+        model, variables, prompt, logit_mask=mask, **kw
+    )
+    tok_narrow, done_narrow = generate_segment(
+        model, variables, prompt, logit_mask=mask,
+        stream_intervals=intervals, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(tok_full), np.asarray(tok_narrow))
+    np.testing.assert_array_equal(np.asarray(done_full), np.asarray(done_narrow))
