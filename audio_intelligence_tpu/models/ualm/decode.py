@@ -137,33 +137,29 @@ def generate_segment(
 
     if stream_intervals is not None:
         assert len(stream_intervals) == s
-        widths = [end - start for start, end in stream_intervals]
-        max_w = max(widths)
+        # column table per stream: its interval, plus eos appended for
+        # stream 0 when it lives outside (parallel.py:535-568 — stream 0
+        # may additionally emit the segment-end specials)
+        cols = [list(range(st, en)) for st, en in stream_intervals]
+        if not (stream_intervals[0][0] <= eos_id < stream_intervals[0][1]):
+            cols[0] = cols[0] + [eos_id]
+        max_w = max(len(c) for c in cols)
+        col_tbl = np.zeros((s, max_w), np.int32)
+        col_valid = np.zeros((s, max_w), bool)
+        for i, c in enumerate(cols):
+            col_tbl[i, : len(c)] = c
+            col_valid[i, : len(c)] = True
+        col_tbl = jnp.asarray(col_tbl)
         w_full = variables["params"]["lm_head_kernel"]  # [H, V]
-        # per-stream column slices, padded to the widest interval — a
-        # [S, H, max_w] gather done ONCE outside the scan
-        w_sel = jnp.stack(
-            [
-                jnp.pad(
-                    jax.lax.slice_in_dim(w_full, start, end, axis=1),
-                    ((0, 0), (0, max_w - (end - start))),
-                )
-                for start, end in stream_intervals
-            ]
+        # [S, H, max_w] column gather done ONCE outside the scan
+        w_sel = jnp.transpose(
+            jnp.take(w_full.T, col_tbl.reshape(-1), axis=0).reshape(
+                s, max_w, -1
+            ),
+            (0, 2, 1),
         )
-        starts = jnp.asarray([st for st, _ in stream_intervals])
-        width_arr = jnp.asarray(widths)
-        mask_sel = jnp.stack(
-            [
-                jax.lax.dynamic_slice_in_dim(
-                    jnp.pad(logit_mask[i], (0, max_w)), start, max_w
-                )
-                for i, (start, _) in enumerate(stream_intervals)
-            ]
-        )
-        # pad columns beyond each stream's true width are invalid
-        col = jnp.arange(max_w)[None, :]
-        mask_sel = jnp.where(col < width_arr[:, None], mask_sel, -1e9)
+        mask_sel = jnp.take_along_axis(logit_mask, col_tbl, axis=1)
+        mask_sel = jnp.where(jnp.asarray(col_valid), mask_sel, -1e9)
 
     def logits_of(stream_hidden):
         """[N, 1, S, H] → [N, S, V|max_w] logits (narrow when intervals)."""
@@ -184,7 +180,7 @@ def generate_segment(
         if stream_intervals is not None:
             logits = combined_logits(sh) + mask_sel[None]
             local = topk_temperature_sample(step_key, logits, top_k, temperature)
-            tokens = local + starts[None, :]
+            tokens = col_tbl[jnp.arange(s)[None, :], local]  # [B, S]
         else:
             logits = combined_logits(sh) + logit_mask[None]
             tokens = topk_temperature_sample(step_key, logits, top_k, temperature)

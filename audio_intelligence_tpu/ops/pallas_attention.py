@@ -168,6 +168,8 @@ def fullkv_attention(
     qf = q.reshape(b * h, t, d)
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(_fullkv_kernel, scale=scale),
         grid=(b * h, t // block_q),
@@ -178,6 +180,11 @@ def fullkv_attention(
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            # both grid dims are independent programs — lets Mosaic
+            # overlap DMA/compute across (batch·head, q-block) iterations
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(qf, kf, vf)
     return out.reshape(b, h, t, d)
@@ -238,6 +245,8 @@ def fullkv_attention_q8(
     qf = q.reshape(b * h, t, d)
     kf = k8.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(_fullkv_q8_kernel, scale=scale),
         grid=(b * h, t // block_q),
@@ -249,6 +258,9 @@ def fullkv_attention_q8(
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         interpret=interpret,
     )(qf, kf, vf, scales)
     return out.reshape(b, h, t, d)

@@ -125,6 +125,9 @@ def main(argv=None):
             model, variables, prompt, args.max_steps, audio_mask, eos,
             sub, cfg_scale=args.cfg, top_k=args.top_k,
             temperature=args.temperature,
+            # narrow restricted decode: sample within each stream's codebook
+            # interval (+eos on stream 0) instead of the full unified vocab
+            stream_intervals=intervals["discrete_audio"],
         )
         toks = np.asarray(tokens[0])
         n_valid = int(np.argmax(np.asarray(done[0]))) or toks.shape[0]

@@ -138,12 +138,14 @@ def test_narrow_decode_matches_full_restricted():
     )
     variables = model.init(jax.random.PRNGKey(0), prompt)
 
-    intervals = [(10, 40), (40, 70), (70, 96)]  # eos 12 inside stream 0
+    intervals = [(10, 40), (40, 70), (70, 96)]
+    # eos OUTSIDE stream 0's interval: the narrow path must append its
+    # lm_head column (the reference lets stream 0 emit segment specials)
     mask = jnp.asarray(
-        restricted_logit_mask(vocab, intervals, eos_ids=())
+        restricted_logit_mask(vocab, intervals, eos_ids=(5,))
     )
     kw = dict(
-        max_steps=5, eos_id=12, key=jax.random.PRNGKey(1), cfg_scale=3.0,
+        max_steps=5, eos_id=5, key=jax.random.PRNGKey(1), cfg_scale=3.0,
         top_k=1, temperature=1e-6,
     )
     tok_full, done_full = generate_segment(
