@@ -15,6 +15,8 @@ wav-in proof). Two legs:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy torch-reference fixtures
+
 import jax
 import jax.numpy as jnp
 

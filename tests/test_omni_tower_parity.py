@@ -6,6 +6,8 @@ Qwen2_5OmniAudioEncoder on a tiny random config, including the windowed
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy torch-reference fixtures
+
 import jax.numpy as jnp
 
 from audio_intelligence_tpu.models.ualm.omni_tower import (

@@ -10,6 +10,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy torch-reference fixtures
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy torch-reference fixtures
+
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ UALM/models/ualm/multimodal_io/audio.py:203-232)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy torch-reference fixtures
+
 import jax
 import jax.numpy as jnp
 
