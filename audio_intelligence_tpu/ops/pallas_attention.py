@@ -190,14 +190,19 @@ def fullkv_attention(
     return out.reshape(b, h, t, d)
 
 
-def _fullkv_q8_kernel(q_ref, kq_ref, v_ref, sc_ref, o_ref, *, scale: float):
+def _fullkv_q8_kernel(q_ref, kq_ref, vx_ref, sc_ref, o_ref, *, scale: float):
     """Hybrid-precision variant of ``_fullkv_kernel`` for the quantized
     UNet path: q is quantized per q-block in-kernel, K arrives
     pre-quantized (per-tensor), and the QK^T logits run int8×int8 on the
     MXU (2× the bf16 rate on v5e; ~1% logit error). Probabilities and the
     PV dot stay bf16 — an int8 probability matrix truncates the softmax
     tail (everything below max/254 rounds to zero) and measured ~5%
-    output error, so only the logit side is quantized."""
+    output error, so only the logit side is quantized.
+
+    The softmax normalizer rides the MXU: ``vx`` is V with a ones column
+    appended ([S, D+1]), so the PV dot's last output column IS the row
+    sum Σp — one fewer VPU reduce pass over the [BLOCK_Q, S] probability
+    matrix, and D 96→97 pads to the same 128-wide MXU tile for free."""
     q = q_ref[:].astype(jnp.float32)
     aq = jnp.max(jnp.abs(q))
     s_q = jnp.maximum(aq, 1e-12) * (1.0 / 127.0)
@@ -209,13 +214,15 @@ def _fullkv_q8_kernel(q_ref, kq_ref, v_ref, sc_ref, o_ref, *, scale: float):
     s_k = sc_ref[0, 0]
     s = s32.astype(jnp.float32) * (s_q * s_k * scale)  # log2 domain
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    # exp2 in f32, stored bf16 — the row max is exp2(0)=1, so the later
+    # Σp (from the ones column) is ≥ 1 and the divide needs no guard
+    p16 = jnp.exp2(s - m).astype(vx_ref.dtype)
+    d = o_ref.shape[-1]
     acc = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
+        p16, vx_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    )  # [BLOCK_Q, D+1]; acc[:, D] = Σp
+    o_ref[:] = (acc[:, :d] / acc[:, d:]).astype(o_ref.dtype)
 
 
 def fullkv_attention_q8(
@@ -244,7 +251,11 @@ def fullkv_attention_q8(
 
     qf = q.reshape(b * h, t, d)
     kf = k8.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
+    # ones column appended to V: the PV dot also computes the softmax
+    # normalizer (see kernel docstring)
+    vf = jnp.concatenate(
+        [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+    ).reshape(b * h, s, d + 1)
     from jax.experimental.pallas import tpu as pltpu
 
     out = pl.pallas_call(
@@ -253,7 +264,7 @@ def fullkv_attention_q8(
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, s, d + 1), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),

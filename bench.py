@@ -142,10 +142,10 @@ def bench_a2sb():
     _, chk = restore(jax.random.PRNGKey(0), x1, mask)
     _ = float(chk)  # compile + warmup, forced sync
 
-    # best of 2 timed runs: steady-state per-segment time (the relay adds
+    # best of 3 timed runs: steady-state per-segment time (the relay adds
     # tens of ms of dispatch jitter on a ~5 s run)
     dt = float("inf")
-    for i in (1, 2):
+    for i in (1, 2, 3):
         t0 = time.perf_counter()
         _, chk = restore(jax.random.PRNGKey(i), x1, mask)
         _ = float(chk)
