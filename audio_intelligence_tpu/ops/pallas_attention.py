@@ -190,7 +190,9 @@ def fullkv_attention(
     return out.reshape(b, h, t, d)
 
 
-def _fullkv_q8_kernel(q_ref, kq_ref, vx_ref, sc_ref, o_ref, *, scale: float):
+def _fullkv_q8_kernel(
+    q_ref, kq_ref, vx_ref, sc_ref, o_ref, *, scale: float, ones_col: bool
+):
     """Hybrid-precision variant of ``_fullkv_kernel`` for the quantized
     UNet path: q is quantized per q-block in-kernel, K arrives
     pre-quantized (per-tensor), and the QK^T logits run int8×int8 on the
@@ -202,7 +204,10 @@ def _fullkv_q8_kernel(q_ref, kq_ref, vx_ref, sc_ref, o_ref, *, scale: float):
     The softmax normalizer rides the MXU: ``vx`` is V with a ones column
     appended ([S, D+1]), so the PV dot's last output column IS the row
     sum Σp — one fewer VPU reduce pass over the [BLOCK_Q, S] probability
-    matrix, and D 96→97 pads to the same 128-wide MXU tile for free."""
+    matrix. Free ONLY when D+1 stays inside the same 128-lane MXU tile
+    (the UNet's D=96 → 97 does); for lane-aligned D (``ones_col=False``)
+    appending would double the PV tile width, so Σp falls back to a VPU
+    row-sum instead."""
     q = q_ref[:].astype(jnp.float32)
     aq = jnp.max(jnp.abs(q))
     s_q = jnp.maximum(aq, 1e-12) * (1.0 / 127.0)
@@ -224,8 +229,12 @@ def _fullkv_q8_kernel(q_ref, kq_ref, vx_ref, sc_ref, o_ref, *, scale: float):
     acc = jax.lax.dot_general(
         p16, vx_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [BLOCK_Q, D+1]; acc[:, D] = Σp
-    o_ref[:] = (acc[:, :d] / acc[:, d:]).astype(o_ref.dtype)
+    )
+    if ones_col:  # acc is [BLOCK_Q, D+1]; acc[:, D] = Σp
+        o_ref[:] = (acc[:, :d] / acc[:, d:]).astype(o_ref.dtype)
+    else:  # lane-aligned D: Σp on the VPU (see docstring)
+        l = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
+        o_ref[:] = (acc / l).astype(o_ref.dtype)
 
 
 def fullkv_attention_q8(
@@ -240,7 +249,11 @@ def fullkv_attention_q8(
     tests) — used on the UNet's int8 fast path only."""
     b, h, t, d = q.shape
     s = k.shape[2]
-    if s * d * 2 + block_q * s * 5 > 12 * 1024 * 1024:
+    # VMEM per program at peak: int8 K [S, D] + bf16 V [S, D+1] + f32
+    # scores AND their bf16 probability copy (6 B/score elem), +20%
+    # headroom for Mosaic double-buffering
+    need = s * d * 1 + s * (d + 1) * 2 + block_q * s * 6
+    if need * 1.2 > 12 * 1024 * 1024:
         return flash_attention(q, k, v, block_q=block_q, block_k=min(1024, s))
     block_q = min(block_q, t)
     assert t % block_q == 0, (t, block_q)
@@ -255,19 +268,26 @@ def fullkv_attention_q8(
     qf = q.reshape(b * h, t, d)
     kf = k8.reshape(b * h, s, d)
     # ones column appended to V: the PV dot also computes the softmax
-    # normalizer (see kernel docstring)
-    vf = jnp.concatenate(
-        [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
-    ).reshape(b * h, s, d + 1)
+    # normalizer (see kernel docstring) — but only when D+1 doesn't cross
+    # into a new 128-lane tile; at lane-aligned D the widened V block
+    # would pad to D+128 lanes for no benefit
+    ones_col = (d % 128) != 0
+    if ones_col:
+        vf = jnp.concatenate(
+            [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1
+        ).reshape(b * h, s, d + 1)
+    else:
+        vf = v.reshape(b * h, s, d)
+    dv = vf.shape[-1]
     from jax.experimental.pallas import tpu as pltpu
 
     out = pl.pallas_call(
-        functools.partial(_fullkv_q8_kernel, scale=scale),
+        functools.partial(_fullkv_q8_kernel, scale=scale, ones_col=ones_col),
         grid=(b * h, t // block_q),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, s, d + 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, s, dv), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),

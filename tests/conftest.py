@@ -24,3 +24,32 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
+
+
+def _ensure_native_built():
+    """Build the C++ data-loader extension on a clean tree (≈5 s, once).
+
+    tests/test_native.py asserts HAVE_NATIVE; a fresh checkout has no .so,
+    so build it here before collection imports the bridge module. Skipped
+    silently when a matching .so already exists; a failed build leaves the
+    numpy fallback in place and test_native_built reports the command.
+    """
+    import subprocess
+    import sys
+    import sysconfig
+    from pathlib import Path
+
+    native_dir = Path(__file__).resolve().parents[1] / "native"
+    so_name = "ait_native" + (sysconfig.get_config_var("EXT_SUFFIX") or ".so")
+    if (native_dir / so_name).exists():
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=native_dir, capture_output=True, timeout=300, check=True,
+        )
+    except (subprocess.SubprocessError, OSError):
+        pass  # no compiler / sandbox — numpy fallback paths still tested
+
+
+_ensure_native_built()
