@@ -227,6 +227,7 @@ def bridge_sample(
     chunk_size: int = 16,
     return_all: bool = False,
     vf_layout: str = "nhwc",
+    window_shift: int = 0,
 ) -> jax.Array:
     """Sample x₀ from the bridge posterior, starting at the corrupted x₁.
 
@@ -237,6 +238,23 @@ def bridge_sample(
     ``linspace(1, 0.05, 50)``). Returns the final x̂₀ (same width as x_1),
     or the whole x̂₀ trajectory when ``return_all`` (the reference keeps
     all of them; carrying only the last saves n_steps× the state writes).
+
+    Overlapped MultiDiffusion (hop < win — the reference predict default
+    is win 256 / hop 128, A2SB_lightning_module.py:43-44) runs on the
+    fast channels-first path when ``win % hop == 0``: the scan carries
+    hop-sized tiles [n_tiles·B, C·H, hop]; windows are r=win/hop
+    adjacent tiles (pure slice+concat — no gather), and the overlap
+    average is r shifted slice-adds (no scatter). The per-step relayout
+    moves only the ~13 MB state (~0.1 ms); the window evaluations
+    dominate exactly as in the reference semantics.
+
+    ``window_shift=s`` (requires hop == win, win % s == 0) is the
+    TPU-cheap alternative to overlap: per step the non-overlapping
+    window grid is cyclically shifted by ``s·step`` frames, so window
+    boundaries land in different places across the 50 steps and no
+    persistent seam forms — at 1/r the UNet evaluations of hop=s
+    overlap. Quality-gated against true overlap in
+    tests/test_a2sb_overlap.py.
 
     The whole loop is one ``lax.scan``; nothing leaves the device.
     """
@@ -269,8 +287,19 @@ def bridge_sample(
     # ~7 ms/step: XLA fuses the reassembly into the output conv and the
     # fusion runs at ~40 GB/s) collapse to ONE fold before the scan and one
     # unfold after it.
+    shifted = (
+        use_md and window_shift > 0 and hop_length == win_length
+        and win_length % window_shift == 0 and vf_layout == "nchw"
+    )
     window_scan = (
         use_md and hop_length == win_length and vf_layout == "nchw"
+        and not shifted
+    )
+    # Overlapped windows (or shifted grids), channels-first: carry
+    # tile-layout state instead (see docstring)
+    tile_scan = shifted or (
+        use_md and vf_layout == "nchw" and hop_length < win_length
+        and win_length % hop_length == 0
     )
     orig_b = x_1.shape[0]
 
@@ -302,17 +331,88 @@ def bridge_sample(
         if mask is not None:
             mask = fold(mask)
 
-    def eval_vf(x_t_cf, t):
+    if tile_scan:
+        tile = window_shift if shifted else hop_length
+        r = win_length // tile
+        _, w_c, w_h, w_w = x_1.shape
+        n_tiles = w_w // tile
+        ch = w_c * w_h
+        fold = lambda a: a.reshape(a.shape[0], ch, a.shape[3])
+        unfold = lambda a: a.reshape(a.shape[0], w_c, w_h, a.shape[2])
+
+        def to_tiles(a):  # [B, C, H, W] → folded [n_tiles·B, C·H, tile]
+            b = a.shape[0]
+            a = a.reshape(b, w_c, w_h, n_tiles, tile)
+            a = jnp.moveaxis(a, 3, 0).reshape(n_tiles * b, w_c, w_h, tile)
+            return fold(a)
+
+        def from_tiles(a):  # inverse of to_tiles
+            a = unfold(a)
+            a = a.reshape(n_tiles, orig_b, w_c, w_h, tile)
+            return jnp.moveaxis(a, 0, 3).reshape(
+                orig_b, w_c, w_h, n_tiles * tile
+            )
+
+        x_1 = to_tiles(x_1)
+        if mask is not None:
+            mask = to_tiles(mask)
+        if shifted:
+            assert n_tiles % r == 0, (n_tiles, r)
+            nw = n_tiles // r
+        else:
+            nw = n_tiles - r + 1
+            # tile k is covered by windows j ∈ [k-r+1, k] ∩ [0, nw)
+            counts = [
+                min(k, n_tiles - 1 - k, r - 1, nw - 1) + 1
+                for k in range(n_tiles)
+            ]
+            inv_counts = jnp.asarray(
+                [1.0 / c for c in counts], x_1.dtype
+            )[:, None, None, None]
+
+    def eval_chunks(wins, t):
+        """Chunked model evaluation over folded [N, C·H, win] windows,
+        with barriers keeping the model's boundary layouts local."""
+        n = wins.shape[0]
+        outs = []
+        for s in range(0, n, chunk_size):
+            (xw,) = jax.lax.optimization_barrier(
+                (unfold(wins[s : min(s + chunk_size, n)]),)
+            )
+            (ow,) = jax.lax.optimization_barrier((vf_fn(xw, t),))
+            outs.append(fold(ow))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def eval_vf_tiled(x_f, t, off):
+        """Windowed vf on tile-layout state [n_tiles·B, C·H, tile]."""
+        T = x_f.reshape(n_tiles, orig_b, ch, tile)
+        if shifted:
+            # cyclic grid shift by `off` tiles (traced per step), then the
+            # non-overlapping r-tile grouping — boundaries move per step
+            T = jnp.roll(T, -off, axis=0)
+            w = T.reshape(nw, r, orig_b, ch, tile)
+            w = jnp.moveaxis(w, 1, 3).reshape(nw * orig_b, ch, win_length)
+            o = eval_chunks(w, t)
+            o = o.reshape(nw, orig_b, ch, r, tile)
+            o = jnp.moveaxis(o, 3, 1).reshape(n_tiles, orig_b, ch, tile)
+            o = jnp.roll(o, off, axis=0)
+            return o.reshape(n_tiles * orig_b, ch, tile)
+        # true overlap: window j = tiles [j, j+r) — r shifted slices, then
+        # the overlap average as r shifted slice-adds (no gather/scatter)
+        w = jnp.concatenate([T[i : i + nw] for i in range(r)], axis=-1)
+        o = eval_chunks(w.reshape(nw * orig_b, ch, win_length), t)
+        o = o.reshape(nw, orig_b, ch, r, tile)
+        acc = jnp.zeros((n_tiles, orig_b, ch, tile), jnp.float32)
+        for i in range(r):
+            acc = acc.at[i : i + nw].add(o[:, :, :, i, :].astype(jnp.float32))
+        acc = (acc * inv_counts.astype(jnp.float32)).astype(x_f.dtype)
+        return acc.reshape(n_tiles * orig_b, ch, tile)
+
+    def eval_vf(x_t_cf, t, off=None):
+        if tile_scan:
+            return eval_vf_tiled(x_t_cf, t, off)
         if window_scan:
-            n = x_t_cf.shape[0]
-            outs = []
-            for s in range(0, n, chunk_size):
-                (xw,) = jax.lax.optimization_barrier(
-                    (unfold(x_t_cf[s : min(s + chunk_size, n)]),)
-                )
-                (ow,) = jax.lax.optimization_barrier((vf_fn(xw, t),))
-                outs.append(fold(ow))
-            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            return eval_chunks(x_t_cf, t)
         if vf_layout == "nchw":
             # the model consumes/produces channels-first directly (UNet
             # io_layout="nchw") — no boundary transposes at all
@@ -330,12 +430,12 @@ def bridge_sample(
         return to_cf(vf_fn(x_t, t))
 
 
-    def step(carry, ts):
+    def step(carry, xs):
         x_t, key = carry
-        t, t_prev = ts
+        (t, t_prev), off = xs
         key, k_post, k_mask = jax.random.split(key, 3)
 
-        vf = eval_vf(x_t, t)
+        vf = eval_vf(x_t, t, off)
         pred_x0 = schedule.pred_x0(t, x_t, vf)
         if mask is not None and mask_pred_x0:
             pred_x0 = pred_x0 * mask + (1.0 - mask) * x_1
@@ -354,19 +454,31 @@ def bridge_sample(
         return carry, (pred_x0 if return_all else None)
 
     ts_pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
+    n_steps = ts_pairs.shape[0]
+    if shifted:
+        # grid offset rotates through the r phases across steps
+        offsets = (jnp.arange(n_steps, dtype=jnp.int32) % r)
+    else:
+        offsets = jnp.zeros((n_steps,), jnp.int32)
     init = (x_1, key, jnp.zeros_like(x_1))
 
-    def step_adapter(carry, ts):
+    def step_adapter(carry, xs):
         x_t, key, _ = carry
-        return step((x_t, key), ts)
+        return step((x_t, key), xs)
 
-    (_, _, last_pred), pred_x0s = jax.lax.scan(step_adapter, init, ts_pairs)
+    (_, _, last_pred), pred_x0s = jax.lax.scan(
+        step_adapter, init, (ts_pairs, offsets)
+    )
     if return_all:
         if window_scan:
             pred_x0s = jax.vmap(lambda a: from_windows(unfold(a)))(pred_x0s)
+        elif tile_scan:
+            pred_x0s = jax.vmap(from_tiles)(pred_x0s)
         # [steps, B, C, H, W] → [steps, B, H, W, C]
         pred_x0s = jnp.transpose(pred_x0s, (0, 1, 3, 4, 2))
         return unpad_multidiffusion(pred_x0s, original_width)
     if window_scan:
         last_pred = from_windows(unfold(last_pred))
+    elif tile_scan:
+        last_pred = from_tiles(last_pred)
     return unpad_multidiffusion(to_cl(last_pred), original_width)

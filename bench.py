@@ -63,7 +63,7 @@ def _zeros_like_shapes(jax, shapes, dtype):
     return jax.tree.map(lambda s: jax.numpy.zeros(s.shape, dtype), shapes)
 
 
-def bench_a2sb():
+def bench_a2sb(hop_length: int = WIN, window_shift: int = 0):
     jax = _jax_setup()
     import jax.numpy as jnp
 
@@ -127,13 +127,21 @@ def bench_a2sb():
         ).astype(dtype)
         return model.apply(params, x_t.astype(dtype), te)
 
+    # overlap (hop < win) runs the tile-layout carry; windows per step =
+    # n_tiles - r + 1 (15 at hop 128) — evaluate them all in one model
+    # call (PERF.md: the conv stack is MXU-bound; wider batches are free)
+    n_windows = (
+        (N_FRAMES - WIN) // hop_length + 1 if hop_length < WIN
+        else N_FRAMES // WIN
+    )
+
     @jax.jit
     def restore(key, x1, mask):
         t_steps = jnp.linspace(1.0, 0.05, N_STEPS + 1).astype(dtype)
         out = bridge_sample(
             vf, sched, key, x1, t_steps, mask=mask,
-            win_length=WIN, hop_length=WIN, chunk_size=N_FRAMES // WIN,
-            vf_layout="nchw",
+            win_length=WIN, hop_length=hop_length, chunk_size=n_windows,
+            vf_layout="nchw", window_shift=window_shift,
         )
         # scalar checksum: forces execution; fetching the full spectrogram
         # through the dev tunnel would time the transfer, not the chip
@@ -152,8 +160,13 @@ def bench_a2sb():
         dt = min(dt, time.perf_counter() - t0)
 
     rtf = (SEGMENT_SAMPLES / SAMPLE_RATE) / dt
+    tag = ""
+    if hop_length < WIN:
+        tag = f"_hop{hop_length}_overlap"
+    elif window_shift:
+        tag = f"_shift{window_shift}"
     return {
-        "metric": "a2sb_bwe_rtf_50step_per_chip",
+        "metric": f"a2sb_bwe_rtf_50step_per_chip{tag}",
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 5.0, 3),
@@ -272,8 +285,16 @@ def bench_ualm():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=("a2sb", "etta", "ualm"), default="a2sb")
+    ap.add_argument("--hop_length", type=int, default=WIN,
+                    help="a2sb only: hop 128 = the reference predict default "
+                         "(overlapped MultiDiffusion, ~2x the UNet work)")
+    ap.add_argument("--window_shift", type=int, default=0,
+                    help="a2sb only: per-step window-grid shift in frames")
     args = ap.parse_args()
-    result = {"a2sb": bench_a2sb, "etta": bench_etta, "ualm": bench_ualm}[args.model]()
+    if args.model == "a2sb":
+        result = bench_a2sb(args.hop_length, args.window_shift)
+    else:
+        result = {"etta": bench_etta, "ualm": bench_ualm}[args.model]()
     print(json.dumps(result))
 
 

@@ -67,8 +67,14 @@ def main(argv=None):
     p.add_argument("--precision", choices=["fp32", "int8"], default="fp32",
                    help="int8 = the production fast path (quantized convs, "
                         "channels-first IO, pallas attention; ~0.5%% rel "
-                        "quantization error, bench-gated). Requires "
-                        "hop_length == win_length.")
+                        "quantization error, bench-gated). Overlapped "
+                        "MultiDiffusion (hop < win) runs on the tile-layout "
+                        "scan when win %% hop == 0.")
+    p.add_argument("--window_shift", type=int, default=0,
+                   help="with hop_length == win_length: cyclically shift the "
+                        "window grid by this many frames per sampling step "
+                        "(boundary-seam mitigation at 1/overlap the compute; "
+                        "LSD-gated vs true overlap in tests)")
     args = p.parse_args(argv)
 
     import jax
@@ -122,9 +128,9 @@ def main(argv=None):
         args.n_steps = max(args.n_steps, 200) if args.n_steps == 50 else args.n_steps
 
     fast = args.precision == "int8"
-    if fast and args.hop_length != args.win_length:
-        p.error("--precision int8 requires hop_length == win_length "
-                "(the window-layout scan fast path)")
+    if fast and args.hop_length < args.win_length and args.win_length % args.hop_length:
+        p.error("--precision int8 with overlap requires win_length to be a "
+                "multiple of hop_length (the tile-layout scan fast path)")
     fast_kw = dict(conv_impl="int8", io_layout="nchw", use_flash=True) if fast else {}
     if args.model_scale == "flagship":
         model = AttnUNetF(**fast_kw)
@@ -189,6 +195,7 @@ def main(argv=None):
             win_length=args.win_length, hop_length=args.hop_length,
             chunk_size=args.chunk_size,
             vf_layout="nchw" if fast else "nhwc",
+            window_shift=args.window_shift,
         )
 
     if fast:

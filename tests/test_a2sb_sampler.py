@@ -241,14 +241,17 @@ def test_bridge_sample_vf_layout_nchw_matches():
     assert out_sto.shape == x1.shape
     assert np.isfinite(np.asarray(out_sto)).all()
 
-    # overlapping windows (hop < win) through the channels-first gather path
+    # overlapping windows (hop < win): the channels-first path now runs
+    # the tile-layout carry, whose noise draws are in tile order — compare
+    # deterministically (ot_ode), like the window-scan comparison above
     out_cf_ov = bridge_sample(
         vf_cf, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
         win_length=8, hop_length=4, chunk_size=3, vf_layout="nchw",
+        ot_ode=True,
     )
     out_cl_ov = bridge_sample(
         vf_cl, sched, jax.random.PRNGKey(1), x1, t_steps, mask=mask,
-        win_length=8, hop_length=4, chunk_size=3,
+        win_length=8, hop_length=4, chunk_size=3, ot_ode=True,
     )
     np.testing.assert_allclose(
         np.asarray(out_cl_ov), np.asarray(out_cf_ov), atol=1e-4, rtol=1e-4

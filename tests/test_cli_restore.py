@@ -26,8 +26,19 @@ def _write_tone(path, seconds=0.6, sr=44100):
         f.writeframes(pcm.tobytes())
 
 
-@pytest.mark.parametrize("precision", ["fp32", "int8"])
-def test_restore_cli_smoke(tmp_path, precision):
+@pytest.mark.parametrize(
+    "precision,hop,shift",
+    [
+        ("fp32", "16", "0"),
+        ("int8", "16", "0"),
+        # reference predict semantics: overlapped windows (hop = win/2,
+        # A2SB_lightning_module.py:43-44) — now allowed on the int8 tile
+        # path — and the per-step shifted-grid mode
+        ("int8", "8", "0"),
+        ("int8", "16", "8"),
+    ],
+)
+def test_restore_cli_smoke(tmp_path, precision, hop, shift):
     from cli.a2sb_restore import main
 
     inp = tmp_path / "in.wav"
@@ -36,8 +47,9 @@ def test_restore_cli_smoke(tmp_path, precision):
     main([
         "-f", str(inp), "-o", str(out),
         "--task", "upsample", "--n_steps", "2",
-        "--win_length", "16", "--hop_length", "16", "--chunk_size", "4",
+        "--win_length", "16", "--hop_length", hop, "--chunk_size", "4",
         "--cutoff_freq", "4000", "--precision", precision,
+        "--window_shift", shift,
     ])
     assert out.exists()
     with wave.open(str(out), "rb") as f:
