@@ -91,6 +91,16 @@ class UALMPreprocessor:
         sample already carries messages (ualm_job.py:492-538).
         ``allow_missing`` tolerates absent assistant content (inference
         prompts are built before the assistant turn exists)."""
+        if "dialogue" in data_dict:
+            # reference interchange format (ualm_job.py:494-510): the
+            # sample IS the message list [(role, io, data), ...]
+            if len(data_dict) != 1:
+                raise ValueError("dialogue samples must have no other entries")
+            if not self.is_train:
+                assert all(m[0] != "assistant" for m in data_dict["dialogue"]), (
+                    "inference dialogues must not contain assistant messages"
+                )
+            return data_dict["dialogue"]
         if "messages" in data_dict:
             return [
                 (m["role"], m["io"], m["content"]) for m in data_dict["messages"]
