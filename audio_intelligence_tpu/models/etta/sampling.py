@@ -142,6 +142,33 @@ def sample_v_ddim(
     return x
 
 
+def make_cond_model_fn(model_fn: Callable, cond_fn: Callable) -> Callable:
+    """Gradient-based conditioning guidance (sampling.py:302-313).
+
+    The reference wraps the denoiser so an external ``cond_fn(x, sigma,
+    denoised=...)`` (typically the gradient of some loss w.r.t. x, computed
+    with torch.enable_grad) nudges the denoised estimate:
+    ``denoised + cond_grad · σ²``. In JAX the gradient is explicit —
+    ``cond_fn`` receives (x, sigma, denoised) and returns the guidance
+    field directly; build it with ``jax.grad`` of a scalar objective, e.g.
+
+        cond_fn = jax.grad(lambda x, s, denoised: my_loss(denoised))
+
+    The wrapped fn matches the ``model_fn(x, t)`` solver contract, so it
+    drops into any sampler in this module.
+    """
+
+    def cond_model_fn(x, sigma, **kwargs):
+        denoised = model_fn(x, sigma, **kwargs)
+        cond_grad = jax.lax.stop_gradient(
+            cond_fn(x, sigma, denoised=denoised, **kwargs)
+        )
+        s = jnp.reshape(sigma, (-1,) + (1,) * (x.ndim - 1))
+        return denoised + cond_grad * s**2
+
+    return cond_model_fn
+
+
 def get_bmask(i, steps, mask):
     """Shrinking binary mask (reference sampling.py:295-299): 1 where the
     soft mask value has been *reached* by the schedule — those positions are

@@ -180,3 +180,47 @@ def test_fsq_roundtrip():
     back = fsq.decode_tokens(info["codes"])
     np.testing.assert_allclose(np.asarray(back), z, atol=1e-5)
     assert int(np.asarray(info["codes"]).max()) < 8 * 5 * 5 * 5
+
+
+def test_make_cond_model_fn_gradient_guidance():
+    """Grad-based conditioning (sampling.py:302-313): the wrapped denoiser
+    adds cond_grad·σ², and jax.grad-built guidance pulls an euler sample
+    toward the objective's optimum."""
+    import jax
+    from audio_intelligence_tpu.models.etta.sampling import make_cond_model_fn
+
+    target = jnp.full((1, 4, 2), 2.0)
+
+    def model_fn(x, t, **kw):
+        return x * 0.9  # plain contraction toward 0
+
+    # guidance = ∇ₓ of -||denoised(x) - target||² … in the reference, the
+    # cond_fn author differentiates; here we express it with jax.grad of
+    # the objective as a function of the denoised estimate
+    w = 0.1
+
+    def cond_fn(x, sigma, denoised=None, **kw):
+        obj = lambda d: -w * jnp.sum((d - target) ** 2)
+        return jax.grad(obj)(denoised)
+
+    guided = make_cond_model_fn(model_fn, cond_fn)
+    # exact contract: denoised + grad·σ²
+    x = jnp.ones((1, 4, 2))
+    sigma = jnp.asarray([0.5])
+    want = model_fn(x, sigma) + (-2.0 * w * (model_fn(x, sigma) - target)) * 0.25
+    np.testing.assert_allclose(np.asarray(guided(x, sigma)), np.asarray(want), atol=1e-5)
+
+    # end-to-end with the k-diffusion euler sampler (the reference feeds
+    # cond_model_fn into sample_k, sampling.py:393-401): guidance on the
+    # DENOISED estimate pulls the trajectory toward the target — the
+    # guided sample must land measurably higher than the unguided
+    # contraction toward 0
+    from audio_intelligence_tpu.models.etta.kdiffusion import sample_k_euler
+
+    noise = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2))
+    sigmas = jnp.linspace(1.0, 0.0, 21)
+    plain = sample_k_euler(model_fn, noise, sigmas)
+    pulled = sample_k_euler(guided, noise, sigmas)
+    m_plain = float(jnp.mean(plain))
+    m_guided = float(jnp.mean(pulled))
+    assert m_plain < m_guided <= 2.5, (m_plain, m_guided)
