@@ -4,9 +4,10 @@ Capability parity with UALM/dataloader/dataset.py (SingleDataset:61-126,
 CombinedDataset:127-301 incl. the dataset-registry env lookup) and the
 multimodal_loader readers (text_loader.py TextReader:15-88,
 dialogue_loader.py DialogueReader:18-120). The lhotse-backed audio reader
-(lhotse is not in this image) is replaced by the tar-shard reader from
-``data/tarshard.py`` — same dict-like ``reader[sample_id] → (wave, sr)``
-contract, served by byte-range reads.
+honors the reference cuts/recordings manifest contract via
+``data/lhotse_reader.py`` (dependency-free parser; real lhotse when
+installed); tar-shard byte-range readers from ``data/tarshard.py`` cover
+the tarball entries.
 
 Registry: colon-separated YAML/JSON files in ``$AIT_DATASET_REGISTRY``
 (``$ESPNET_DATASET_REGISTRY`` also honored for drop-in parity), each
@@ -177,13 +178,21 @@ class TarAudioSegmentReader:
         return len(self.segments)
 
 
+def _lhotse_audio(*a, **k):
+    # deferred import keeps datasets.py free of the manifest parser
+    from audio_intelligence_tpu.data.lhotse_reader import LhotseAudioReader
+
+    return LhotseAudioReader(*a, **k)
+
+
 READER_TYPES = {
     "text": TextReader,
     "dialogue": DialogueReader,
     "tar_audio": TarAudioReader,
     "tar_audio_segment": TarAudioSegmentReader,
-    # drop-in alias: reference manifests say "lhotse_audio"
-    "lhotse_audio": TarAudioReader,
+    # the reference lhotse-cuts contract (audio_loader.py:23-110):
+    # cuts/recordings jsonl.gz manifest dirs, real lhotse when installed
+    "lhotse_audio": _lhotse_audio,
 }
 
 

@@ -282,9 +282,267 @@ def bench_ualm():
     }
 
 
+V5E_PEAK_BF16 = 197e12  # TPU v5e per-chip bf16 peak, FLOP/s
+
+
+def _time_train_steps(step_fn, state, make_args, n=3):
+    """Compile + run one step, then best-of-n timed steps (device-side
+    scalar sync per step; state is threaded through donation)."""
+    state, metrics = step_fn(state, *make_args(0))
+    _ = float(metrics["loss"])  # forced sync = compile + warmup
+    best = float("inf")
+    for i in range(1, n + 1):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, *make_args(i))
+        _ = float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _compiled_flops(jitted, *args):
+    """FLOPs of the compiled step via XLA cost analysis (None if the
+    backend doesn't report it)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
+
+
+def bench_a2sb_train():
+    """Flagship AttnUNetF train step (A2SB/configs/pretrain.yaml: batch 10
+    per device, 256-frame segments, RAdam lr 8e-5 clip 0.5), bf16 params,
+    remat'd UNet. Reports ms/step + achieved TFLOP/s + MFU vs v5e peak."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.a2sb.bridge import BridgeSchedule
+    from audio_intelligence_tpu.models.a2sb.training import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from audio_intelligence_tpu.models.a2sb.unet import (
+        AttnUNetF,
+        sinusoidal_temporal_embedding,
+    )
+
+    dtype = jnp.bfloat16
+    model = AttnUNetF(
+        n_updown_levels=5,
+        hidden_channels=(128, 256, 512, 768, 1024, 2048),
+        emb_channels=128,
+        band_embedding_dim=16,
+        attention_levels=(3, 4),
+        n_attn_heads=8,
+        num_res_blocks=2,
+    )
+    b, h, w = 10, 1024, 256
+    sched = BridgeSchedule(beta_max=1.0)
+
+    x0 = jnp.zeros((1, h, w, 3), dtype)
+    te0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128).astype(dtype)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x0, te0))
+    params = _zeros_like_shapes(jax, shapes, dtype)["params"]
+    tx = make_optimizer()
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x_0_clean": jnp.asarray(rng.standard_normal((b, h, w, 3)), dtype),
+        "x_0_corrupted": jnp.asarray(rng.standard_normal((b, h, w, 3)), dtype),
+        "loss_mask": jnp.ones((b, h, w, 1), dtype),
+    }
+    step = jax.jit(
+        make_train_step(jax.checkpoint(model.apply), sched, tx),
+        donate_argnums=0,
+    )
+    flops = _compiled_flops(step, state, jax.random.PRNGKey(0), batch)
+    dt = _time_train_steps(step, state, lambda i: (jax.random.PRNGKey(i), batch))
+    tflops = (flops / dt / 1e12) if flops else None
+    return {
+        "metric": "a2sb_train_step_ms_b10_bf16",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "vs_baseline": round((tflops or 0.0) * 1e12 / V5E_PEAK_BF16, 3),
+        "tflops": round(tflops, 1) if tflops else None,
+    }
+
+
+def bench_etta_train():
+    """Flagship ETTA-DiT (depth 24, d 1536, 1.29 B params) rectified-flow
+    train step: batch 8, T=215 latents, logit-normal t, cfg-dropout 0.1,
+    EMA — bf16 params with bf16 adam moments (the fp32-moment flagship
+    state is FSDP-sharded in production; this is the documented single-
+    chip configuration), remat'd transformer."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import optax
+
+    from audio_intelligence_tpu.models.etta.dit import DiffusionTransformer
+    from audio_intelligence_tpu.models.etta.training import (
+        DiffusionTrainState,
+        make_diffusion_train_step,
+    )
+
+    dtype = jnp.bfloat16
+    dit = DiffusionTransformer()  # flagship defaults
+    b, t_len, c_len = 8, 215, 128
+
+    x0 = jnp.zeros((1, t_len, 64), dtype)
+    shapes = jax.eval_shape(
+        lambda: dit.init(
+            jax.random.PRNGKey(0), x0, jnp.zeros((1,), dtype),
+            jnp.zeros((1, c_len, 768), dtype), None, jnp.zeros((1, 1536), dtype),
+        )
+    )
+    params = _zeros_like_shapes(jax, shapes, dtype)["params"]
+    tx = optax.adamw(1e-4, mu_dtype=jnp.bfloat16)
+    state = DiffusionTrainState(
+        params, jax.tree.map(lambda a: a.copy(), params),
+        tx.init(params), jnp.zeros((), jnp.int32),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "latents": jnp.asarray(rng.standard_normal((b, t_len, 64)), dtype),
+        "cross_attn_cond": jnp.asarray(rng.standard_normal((b, c_len, 768)), dtype),
+        "cross_attn_mask": jnp.ones((b, c_len), bool),
+        "global_cond": jnp.asarray(rng.standard_normal((b, 1536)), dtype),
+    }
+    step = jax.jit(
+        make_diffusion_train_step(jax.checkpoint(dit.apply), tx),
+        donate_argnums=0,
+    )
+    flops = _compiled_flops(step, state, jax.random.PRNGKey(0), batch)
+    dt = _time_train_steps(step, state, lambda i: (jax.random.PRNGKey(i), batch))
+    tflops = (flops / dt / 1e12) if flops else None
+    return {
+        "metric": "etta_train_step_ms_b8_bf16",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "vs_baseline": round((tflops or 0.0) * 1e12 / V5E_PEAK_BF16, 3),
+        "tflops": round(tflops, 1) if tflops else None,
+    }
+
+
+def bench_ualm_train(seq_len: int = 2048):
+    """1.5B-class ParallelLM multi-stream CE train step: packed batch
+    [1, seq_len, 8] (reference bucket is 16000 tokens across packed
+    documents — seq 2048 is the documented single-chip sub-flagship;
+    the 32-GPU recipe shards the rest), interval softmax on streams 1+,
+    adafactor (factored moments — adam's 2 fp32 moments alone exceed a
+    single v5e's HBM at 1.78 B params), remat'd backbone."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import optax
+
+    from audio_intelligence_tpu.models.ualm.backbone import BackboneConfig
+    from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+    from audio_intelligence_tpu.models.ualm.training import (
+        UALMTrainState,
+        make_ualm_train_step,
+    )
+
+    dtype = jnp.bfloat16
+    vocab, num_stream = 152064, 8
+    model = ParallelLM(
+        cfg=BackboneConfig.qwen25_1_5b(), vocab_size=vocab, num_stream=num_stream
+    )
+    ids = jnp.zeros((1, 8, num_stream), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids))
+    params = _zeros_like_shapes(jax, shapes, dtype)["params"]
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adafactor(1e-4)
+    )
+    state = UALMTrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    base = 151000 - num_stream * 1026
+    intervals = [(base + i * 1026, base + (i + 1) * 1026) for i in range(num_stream)]
+    rng = np.random.default_rng(0)
+    batch = {
+        "seqs": jnp.asarray(
+            rng.integers(0, 32000, (1, seq_len, num_stream)), jnp.int32
+        ),
+        "loss_masks": jnp.ones((1, seq_len, num_stream), dtype),
+    }
+    step = jax.jit(make_ualm_train_step(model, tx, intervals), donate_argnums=0)
+    flops = _compiled_flops(step, state, batch)
+    dt = _time_train_steps(step, state, lambda i: (batch,))
+    tflops = (flops / dt / 1e12) if flops else None
+    return {
+        "metric": f"ualm_train_step_ms_seq{seq_len}_bf16",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "vs_baseline": round((tflops or 0.0) * 1e12 / V5E_PEAK_BF16, 3),
+        "tflops": round(tflops, 1) if tflops else None,
+    }
+
+
+def bench_ualm_16k():
+    """Long-context regime (reference bucket 16000 tokens,
+    conf/train.yaml:35-36): prefill a 16k packed context (position-id
+    resets → segment-masked attention) then decode 64 frames with the
+    KV cache. Reports prefill tokens/s; decode rides the same cache."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
+    from audio_intelligence_tpu.models.ualm.backbone import BackboneConfig
+    from audio_intelligence_tpu.models.ualm.decode import generate_segment
+    from audio_intelligence_tpu.models.ualm.lm import ParallelLM
+
+    dtype = jnp.bfloat16
+    ctx, n_new = 16384, 64
+    vocab, num_stream = 152064, 8
+    model = ParallelLM(
+        cfg=BackboneConfig.qwen25_1_5b(), vocab_size=vocab, num_stream=num_stream
+    )
+    prompt = jnp.zeros((1, 8, num_stream), jnp.int32)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), prompt))
+    variables = _zeros_like_shapes(jax, shapes, dtype)
+    rng = np.random.default_rng(0)
+    long_prompt = jnp.asarray(
+        rng.integers(0, 32000, (1, ctx, num_stream)), jnp.int32
+    )
+    logit_mask = jnp.zeros((num_stream, vocab), dtype)
+    base = 151000 - num_stream * 1026
+    intervals = [(base + i * 1026, base + (i + 1) * 1026) for i in range(num_stream)]
+
+    @jax.jit
+    def run(variables, key):
+        tokens, done = generate_segment(
+            model, variables, long_prompt, n_new, logit_mask,
+            eos_id=intervals[0][0], key=key, cfg_scale=1.0, top_k=20,
+            temperature=0.8, stream_intervals=intervals,
+        )
+        return jnp.sum(tokens) + jnp.sum(done)
+
+    _ = int(run(variables, jax.random.PRNGKey(0)))  # compile + warmup
+    best = float("inf")
+    for i in (1, 2, 3):
+        t0 = time.perf_counter()
+        _ = int(run(variables, jax.random.PRNGKey(i)))
+        best = min(best, time.perf_counter() - t0)
+    toks_per_s = (ctx + n_new) / best
+    return {
+        "metric": "ualm_16k_prefill_decode_tok_per_s",
+        "value": round(toks_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(best, 3),  # wall seconds for 16k+64
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=("a2sb", "etta", "ualm"), default="a2sb")
+    ap.add_argument(
+        "--model",
+        choices=(
+            "a2sb", "etta", "ualm",
+            "a2sb_train", "etta_train", "ualm_train", "ualm_16k",
+        ),
+        default="a2sb",
+    )
     ap.add_argument("--hop_length", type=int, default=WIN,
                     help="a2sb only: hop 128 = the reference predict default "
                          "(overlapped MultiDiffusion, ~2x the UNet work)")
@@ -294,7 +552,14 @@ def main():
     if args.model == "a2sb":
         result = bench_a2sb(args.hop_length, args.window_shift)
     else:
-        result = {"etta": bench_etta, "ualm": bench_ualm}[args.model]()
+        result = {
+            "etta": bench_etta,
+            "ualm": bench_ualm,
+            "a2sb_train": bench_a2sb_train,
+            "etta_train": bench_etta_train,
+            "ualm_train": bench_ualm_train,
+            "ualm_16k": bench_ualm_16k,
+        }[args.model]()
     print(json.dumps(result))
 
 
