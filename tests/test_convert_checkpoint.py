@@ -6,6 +6,13 @@ flax model init (every path and shape must match) plus numerical
 equivalence of the conv/WN transforms.
 """
 
+import pytest
+
+# Compile-heavy suite: marked slow so the default `pytest -m "not slow"`
+# run stays a <5-minute smoke signal (tests/test_fast_sanity.py covers
+# this area's quick sanity); run the full suite with plain `pytest tests/`.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

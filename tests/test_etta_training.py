@@ -1,5 +1,12 @@
 """ETTA training loops: RF step, GAN-VAE alternating steps, EMA/schedules."""
 
+import pytest
+
+# Compile-heavy suite: marked slow so the default `pytest -m "not slow"`
+# run stays a <5-minute smoke signal (tests/test_fast_sanity.py covers
+# this area's quick sanity); run the full suite with plain `pytest tests/`.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

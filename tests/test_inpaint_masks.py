@@ -1,6 +1,13 @@
 """ETTA inpaint training masks (reference keep-convention: 1 = keep,
 0 = masked/generated — training/diffusion.py:1022-1135)."""
 
+import pytest
+
+# Compile-heavy suite: marked slow so the default `pytest -m "not slow"`
+# run stays a <5-minute smoke signal (tests/test_fast_sanity.py covers
+# this area's quick sanity); run the full suite with plain `pytest tests/`.
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 
