@@ -75,20 +75,26 @@ class BridgeSchedule:
             )
         return x_t
 
-    def p_posterior(self, key, t_prev, t, x_t, x_0, ot_ode: bool = False):
+    def p_posterior(
+        self, key, t_prev, t, x_t, x_0, ot_ode: bool = False, noise=None
+    ):
         """One reverse step: sample p(x_{t_prev} | x_t, x̂₀)
         (A2SB/diffusion.py:153-163). Noise is masked where t_prev == 0 or
-        under the ODE formulation — branch-free for use inside scan."""
+        under the ODE formulation — branch-free for use inside scan.
+        ``noise`` lets the caller supply the standard-normal draw (the
+        sampler shares one draw between the posterior and the known-region
+        re-noise: they compose on disjoint mask regions, so sharing is
+        distribution-identical and saves a full-tensor RNG pass/step)."""
         std_t = self.std_fwd(t)
         std_t_prev = self.std_fwd(t_prev)
         std_delta = jnp.sqrt(std_t**2 - std_t_prev**2)
         mu_x0, mu_xt, var = gaussian_product_coef(std_t_prev, std_delta)
         x_t_prev = _bcast(mu_x0, x_0) * x_0 + _bcast(mu_xt, x_t) * x_t
         if not ot_ode:
+            if noise is None:
+                noise = jax.random.normal(key, x_t.shape, x_t.dtype)
             noise_std = jnp.where(t_prev > 0, jnp.sqrt(var), 0.0)
-            x_t_prev = x_t_prev + _bcast(noise_std, x_t) * jax.random.normal(
-                key, x_t.shape, x_t.dtype
-            )
+            x_t_prev = x_t_prev + _bcast(noise_std, x_t) * noise
         return x_t_prev
 
     def pred_x0(self, t, x_t, vf_out):

@@ -38,6 +38,33 @@ from audio_intelligence_tpu.ops.rotary import axial_pixel_freqs_np, apply_rotary
 from audio_intelligence_tpu.ops.quant import quant_conv2d
 
 
+def _maybe_prequant(mod: nn.Module, make):
+    """Read-or-create this module's load-time-quantized weights.
+
+    Inference passes a ``qweights`` collection (see ``prequantize_unet``)
+    so the per-call dynamic weight quantization — a full pass over all
+    conv weights per sampling step once params are jit arguments rather
+    than baked constants — happens ONCE at load time. Returns the entry
+    dict, or None on the plain dynamic path (training / no collection).
+    """
+    if mod.is_initializing():
+        return None
+    if mod.has_variable("qweights", "q") or mod.is_mutable_collection("qweights"):
+        return mod.variable("qweights", "q", make).value
+    return None
+
+
+def prequantize_unet(model, variables, example_x, example_t_emb):
+    """Materialize the ``qweights`` collection with one mutable forward
+    (cheap example shapes are fine — only weight shapes matter). Returns
+    variables extended with the collection; pass them to ``apply`` on the
+    int8 path to skip per-step weight quantization."""
+    _, mut = model.apply(
+        variables, example_x, example_t_emb, mutable=["qweights"]
+    )
+    return {**variables, "qweights": mut["qweights"]}
+
+
 class QConv(nn.Module):
     """nn.Conv-compatible 2-D conv with an int8 fast path.
 
@@ -106,10 +133,25 @@ class QConv(nn.Module):
             return y, (sums, sums_sq)
         assert residual is None
         if self.impl == "int8":
+            from audio_intelligence_tpu.ops.quant import (
+                quantize_int8,
+                symmetric_scales,
+            )
+
+            def _make_q():
+                s = symmetric_scales(kernel, axis=3)
+                return {
+                    "w_q": quantize_int8(kernel, s[None, None, None, :]),
+                    "s_w": s,
+                }
+
+            q = _maybe_prequant(self, _make_q)
             wdtype = jnp.bfloat16 if isinstance(x, QTensor) else x.dtype
             return quant_conv2d(
                 x, kernel.astype(wdtype), bias, self.strides, pad,
                 in_layout=self.in_layout, out_layout=self.out_layout,
+                w_q=None if q is None else q["w_q"],
+                s_w=None if q is None else q["s_w"],
             )
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, (self.in_layout, "HWIO", self.out_layout)
@@ -181,8 +223,18 @@ class UpsampleConv2x(nn.Module):
                 s_x = jnp.max(jnp.abs(values.astype(jnp.float32)))
                 s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
                 x_q = quantize_int8(values, s_x)
-            s_w = symmetric_scales(w_eff, axis=3)
-            w_q = quantize_int8(w_eff, s_w[None, None, None, :])
+
+            def _make_q():
+                s = symmetric_scales(w_eff, axis=3)
+                return {
+                    "w_q": quantize_int8(w_eff, s[None, None, None, :]),
+                    "s_w": s,
+                }
+
+            q = _maybe_prequant(self, _make_q)
+            if q is None:
+                q = _make_q()
+            w_q, s_w = q["w_q"], q["s_w"]
             dn = jax.lax.conv_dimension_numbers(
                 x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
             )
@@ -248,17 +300,22 @@ class SmallCoutConv3x3(nn.Module):
                 s_x = jnp.max(jnp.abs(values.astype(jnp.float32)))
                 s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
                 x_q = quantize_int8(values, s_x)
-            s_w = symmetric_scales(kernel, axis=3)  # per o
-            w_q = quantize_int8(
-                w_cols, jnp.tile(s_w, 9)[None, :]
-            )
+
+            def _make_q():
+                s9 = jnp.tile(symmetric_scales(kernel, axis=3), 9)  # per o
+                return {"w_q": quantize_int8(w_cols, s9[None, :]), "s_w9": s9}
+
+            q = _maybe_prequant(self, _make_q)
+            if q is None:
+                q = _make_q()
+            w_q, s_w9 = q["w_q"], q["s_w9"]
             partial = jnp.einsum(
                 "bhwc,ct->bthw", x_q, w_q,
                 preferred_element_type=jnp.int32,
             )
             partial = (
                 partial.astype(jnp.float32)
-                * (s_x * jnp.tile(s_w, 9))[None, :, None, None]
+                * (s_x * s_w9)[None, :, None, None]
             ).astype(jnp.bfloat16)
         else:
             partial = jnp.einsum(

@@ -61,6 +61,8 @@ def quant_conv2d(
     out_dtype=None,
     in_layout: str = "NHWC",
     out_layout: str = "NHWC",
+    w_q: jax.Array | None = None,
+    s_w: jax.Array | None = None,
 ) -> jax.Array:
     """int8×int8 convolution (HWIO kernel) with fp32 rescale.
 
@@ -84,8 +86,15 @@ def quant_conv2d(
         s_x = jnp.where(s_x > 0, s_x / 127.0, 1.0)
         x_q = quantize_int8(x, s_x)
 
-    s_w = symmetric_scales(kernel, axis=3)  # per output channel [Cout]
-    w_q = quantize_int8(kernel, s_w[None, None, None, :])
+    if w_q is None:
+        # dynamic weight quantization. NOTE: when the params are jit
+        # ARGUMENTS (not compile-time constants) this re-runs per model
+        # call — XLA does not hoist it out of the sampling scan past the
+        # layout barriers (measured 6% of the restore step). Production
+        # inference pre-quantizes at load time via
+        # ``prequantize_conv_weights`` and passes (w_q, s_w) here.
+        s_w = symmetric_scales(kernel, axis=3)  # per output channel [Cout]
+        w_q = quantize_int8(kernel, s_w[None, None, None, :])
 
     dn = jax.lax.conv_dimension_numbers(
         x_q.shape, kernel.shape, (in_layout, "HWIO", out_layout)
@@ -105,3 +114,27 @@ def quant_conv2d(
     if bias is not None:
         y = y + bias.astype(jnp.float32).reshape(bshape)
     return y.astype(in_dtype)
+
+
+def prequantize_conv_weights(params: dict) -> dict:
+    """Load-time weight quantization for int8 inference.
+
+    Walks a flax params tree and, for every 4-D HWIO conv ``kernel``,
+    computes the per-output-channel scales and int8 kernel ONCE —
+    returned as a parallel tree suitable for the ``qweights`` collection:
+    ``model.apply({"params": p, "qweights": prequantize_conv_weights(p)},
+    ...)``. QConv consumes (w_q, s_w) and skips the per-call dynamic
+    weight quantization (with params as jit arguments that otherwise
+    costs a full pass over all weights per sampling step).
+    """
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            sub = prequantize_conv_weights(v)
+            if sub:
+                out[k] = sub
+        elif k == "kernel" and getattr(v, "ndim", 0) == 4:
+            s_w = symmetric_scales(v, axis=3)
+            out["w_q"] = quantize_int8(v, s_w[None, None, None, :])
+            out["s_w"] = s_w
+    return out

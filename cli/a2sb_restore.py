@@ -153,13 +153,19 @@ def main(argv=None):
     sched = BridgeSchedule(beta_max=1.0)
 
     def cast_params(p):
-        """bf16 params on the int8 fast path (the convs quantize from
-        bf16; fp32 elementwise would double HBM traffic)."""
+        """bf16 params + load-time weight quantization on the int8 fast
+        path (the qweights collection makes the sampling scan never
+        re-quantize weights; fp32 elementwise would double HBM traffic)."""
         if not fast:
             return p
-        return jax.tree.map(
+        from audio_intelligence_tpu.models.a2sb.unet import prequantize_unet
+
+        p = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             p,
+        )
+        return prequantize_unet(
+            model, p, x_ex.astype(jnp.bfloat16), t_emb0.astype(jnp.bfloat16)
         )
 
     def make_vf(p):

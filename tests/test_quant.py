@@ -90,3 +90,41 @@ def test_unet_int8_matches_bf16_path():
     denom = np.abs(out_bf).mean() + 1e-6
     rel = np.abs(out_q - out_bf).mean() / denom
     assert rel < 0.1, rel
+
+
+def test_prequantized_weights_match_dynamic_path():
+    """The qweights collection (load-time weight quantization,
+    prequantize_unet) must reproduce the dynamic int8 path EXACTLY —
+    same scales, same int8 kernels, same outputs."""
+    from audio_intelligence_tpu.models.a2sb.unet import prequantize_unet
+
+    model_kwargs = dict(
+        n_updown_levels=2, hidden_channels=(8, 16, 16), emb_channels=16,
+        band_embedding_dim=4, attention_levels=(1,), n_attn_heads=2,
+        num_res_blocks=1, rotary_dim=2, conv_impl="int8",
+    )
+    m = AttnUNetF(**model_kwargs)
+    rng = np.random.default_rng(0)
+    # bf16 params + inputs: the production int8 flow (with fp32 params the
+    # dynamic path quantizes the bf16-CAST kernel at apply time, so the
+    # load-time scales would differ by sub-quantization rounding)
+    x = jnp.asarray(rng.standard_normal((1, 16, 8, 3)), jnp.bfloat16)
+    te = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 16).astype(jnp.bfloat16)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16),
+        m.init(jax.random.PRNGKey(0), x, te),
+    )
+
+    dynamic = m.apply(params, x, te)
+    variables = prequantize_unet(m, params, x, te)
+    assert "qweights" in variables
+    pre = m.apply(variables, x, te)
+    np.testing.assert_array_equal(np.asarray(pre), np.asarray(dynamic))
+
+    # io_layout="nchw" production config too
+    m2 = AttnUNetF(**{**model_kwargs, "io_layout": "nchw"})
+    x2 = jnp.moveaxis(x, -1, 1)
+    v2 = prequantize_unet(m2, params, x2, te)
+    pre2 = m2.apply(v2, x2, te)
+    dyn2 = m2.apply(params, x2, te)
+    np.testing.assert_array_equal(np.asarray(pre2), np.asarray(dyn2))
