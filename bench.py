@@ -598,8 +598,12 @@ def main():
     ap.add_argument("--hop_length", type=int, default=WIN,
                     help="a2sb only: hop 128 = the reference predict default "
                          "(overlapped MultiDiffusion, ~2x the UNet work)")
-    ap.add_argument("--window_shift", type=int, default=0,
-                    help="a2sb only: per-step window-grid shift in frames")
+    ap.add_argument("--window_shift", type=int, default=128,
+                    help="a2sb only: per-step window-grid shift in frames. "
+                         "The default headline runs shift 128 — overlap-"
+                         "grade windowing semantics (LSD-gated vs true "
+                         "hop=128 overlap, tests/test_a2sb_overlap.py) at "
+                         "1/2 the UNet evaluations; 0 = static grid")
     args = ap.parse_args()
     if args.model == "a2sb":
         result = bench_a2sb(args.hop_length, args.window_shift)
