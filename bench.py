@@ -403,8 +403,19 @@ def bench_a2sb_train():
         "x_0_corrupted": jnp.asarray(rng.standard_normal((b, h, w, 3)), dtype),
         "loss_mask": jnp.ones((b, h, w, 1), dtype),
     }
+    # remat over array-only args (jax.checkpoint rejects the loss's
+    # bool/rngs kwargs)
+    inner = jax.checkpoint(
+        lambda v, xb, te, k: model.apply(
+            v, xb, te, deterministic=False, rngs={"dropout": k}
+        )
+    )
+
+    def remat_apply(variables, xb, te, deterministic=True, rngs=None):
+        return inner(variables, xb, te, rngs["dropout"])
+
     step = jax.jit(
-        make_train_step(jax.checkpoint(model.apply), sched, tx),
+        make_train_step(remat_apply, sched, tx),
         donate_argnums=0,
     )
     flops = _compiled_flops(step, state, jax.random.PRNGKey(0), batch)
