@@ -387,7 +387,10 @@ def bench_a2sb_train():
         n_attn_heads=8,
         num_res_blocks=2,
     )
-    b, h, w = 10, 1024, 256
+    # batch 2 per chip (the reference's per-GPU batch 10 needs >16 GB of
+    # activations at these shapes even remat'd — XLA:TPU refuses the
+    # compile; at data-parallel scale the global batch matches)
+    b, h, w = 2, 1024, 256
     sched = BridgeSchedule(beta_max=1.0)
 
     x0 = jnp.zeros((1, h, w, 3), dtype)
@@ -408,7 +411,10 @@ def bench_a2sb_train():
     inner = jax.checkpoint(
         lambda v, xb, te, k: model.apply(
             v, xb, te, deterministic=False, rngs={"dropout": k}
-        )
+        ),
+        # full remat: XLA's memory estimate for the flagship UNet bwd
+        # otherwise exceeds one chip even at batch 2
+        policy=jax.checkpoint_policies.nothing_saveable,
     )
 
     def remat_apply(variables, xb, te, deterministic=True, rngs=None):
@@ -422,7 +428,7 @@ def bench_a2sb_train():
     dt = _time_train_steps(step, state, lambda i: (jax.random.PRNGKey(i), batch))
     tflops = (flops / dt / 1e12) if flops else None
     return {
-        "metric": "a2sb_train_step_ms_b10_bf16",
+        "metric": f"a2sb_train_step_ms_b{b}_bf16",
         "value": round(dt * 1e3, 1),
         "unit": "ms/step",
         "weights": "random_normal",
@@ -449,7 +455,10 @@ def bench_etta_train():
 
     dtype = jnp.bfloat16
     dit = DiffusionTransformer()  # flagship defaults
-    b, t_len, c_len = 8, 215, 128
+    # batch 2/chip: 1.29 B params + bf16 adam moments + remat'd
+    # activations fill a single v5e's 16 GB at batch 8 (the 8-GPU
+    # reference recipe shards the batch)
+    b, t_len, c_len = 2, 215, 128
 
     x0 = jnp.zeros((1, t_len, 64), dtype)
     shapes = jax.eval_shape(
@@ -459,7 +468,12 @@ def bench_etta_train():
         )
     )
     params = _random_params(jax, shapes, dtype)["params"]
-    tx = optax.adamw(1e-4, mu_dtype=jnp.bfloat16)
+    # adafactor: at 1.29 B params the train state already holds params +
+    # EMA + grads (3 param-sized buffers); adam's two moments push a
+    # single v5e past 16 GB even in bf16 — factored second moments keep
+    # the flagship + EMA step on one chip (production shards fp32 adam
+    # over the fsdp axis; see dryrun_multichip's ETTA leg)
+    tx = optax.adafactor(1e-4)
     state = DiffusionTrainState(
         params, jax.tree.map(lambda a: a.copy(), params),
         tx.init(params), jnp.zeros((), jnp.int32),
@@ -471,15 +485,27 @@ def bench_etta_train():
         "cross_attn_mask": jnp.ones((b, c_len), bool),
         "global_cond": jnp.asarray(rng.standard_normal((b, 1536)), dtype),
     }
+    # remat over array-only args: deterministic=False must stay a Python
+    # static (flax Dropout branches on it), so the checkpoint wraps an
+    # inner fn with it already bound
+    inner = jax.checkpoint(
+        lambda v, xb, t, cond, m, g, k: dit.apply(
+            v, xb, t, cond, m, g, deterministic=False, rngs={"dropout": k}
+        )
+    )
+
+    def remat_apply(v, xb, t, cond, m, g, deterministic=True, rngs=None):
+        return inner(v, xb, t, cond, m, g, rngs["dropout"])
+
     step = jax.jit(
-        make_diffusion_train_step(jax.checkpoint(dit.apply), tx),
+        make_diffusion_train_step(remat_apply, tx),
         donate_argnums=0,
     )
     flops = _compiled_flops(step, state, jax.random.PRNGKey(0), batch)
     dt = _time_train_steps(step, state, lambda i: (jax.random.PRNGKey(i), batch))
     tflops = (flops / dt / 1e12) if flops else None
     return {
-        "metric": "etta_train_step_ms_b8_bf16",
+        "metric": f"etta_train_step_ms_b{b}_bf16",
         "value": round(dt * 1e3, 1),
         "unit": "ms/step",
         "weights": "random_normal",
@@ -555,7 +581,12 @@ def bench_ualm_16k():
     from audio_intelligence_tpu.models.ualm.lm import ParallelLM
 
     dtype = jnp.bfloat16
-    ctx, n_new = 16384, 64
+    # 8k packed context: the backbone's XLA attention materializes the
+    # [H, T, T] score tensor, and 16k scores (12 x 16448^2 f32) exceed a
+    # single chip's HBM — the 16k regime needs the blockwise pallas
+    # flash path wired into prefill (PERF.md roadmap). 8k fits and
+    # exercises the same segment-masked long-context path.
+    ctx, n_new = 8192, 64
     vocab, num_stream = 152064, 8
     model = ParallelLM(
         cfg=BackboneConfig.qwen25_1_5b(), vocab_size=vocab, num_stream=num_stream
@@ -588,7 +619,7 @@ def bench_ualm_16k():
         best = min(best, time.perf_counter() - t0)
     toks_per_s = (ctx + n_new) / best
     return {
-        "metric": "ualm_16k_prefill_decode_tok_per_s",
+        "metric": f"ualm_{ctx//1024}k_prefill_decode_tok_per_s",
         "value": round(toks_per_s, 1),
         "unit": "tokens/s",
         "weights": "random_normal",
