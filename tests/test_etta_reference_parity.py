@@ -201,6 +201,21 @@ def _load_reference_etta():
     load("etta_transformer")
     dit = load("dit")
     ae = load("autoencoders")
+
+    # Drop the third-party stubs from sys.modules: they exist only so the
+    # reference files import. Leaving spec-less stand-ins registered
+    # breaks later availability probes in the same pytest session
+    # (importlib.util.find_spec raises ValueError on a module whose
+    # __spec__ is unset — observed as xcodec/whisper fixture errors in
+    # the full-suite run). The loaded sat_ref modules hold direct
+    # references, so they keep working.
+    for name in list(sys.modules):
+        root = name.split(".")[0]
+        if root in (
+            "flash_attn", "dac", "x_transformers", "torchaudio",
+            "alias_free_torch", "encodec",
+        ) and not getattr(sys.modules[name], "__file__", None):
+            del sys.modules[name]
     return dit, ae
 
 

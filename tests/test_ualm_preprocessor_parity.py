@@ -54,6 +54,10 @@ def _load_reference_preprocessor_cls():
             else:
                 for k in [k for k in sys.modules if k == n or k.startswith(n + ".")]:
                     del sys.modules[k]
+        # the librosa stand-in breaks later availability probes
+        # (find_spec) once this module's tests are done — drop it too
+        if not getattr(sys.modules.get("librosa"), "__file__", None):
+            sys.modules.pop("librosa", None)
     return RefPreprocessor
 
 
