@@ -46,6 +46,12 @@ class BackboneConfig:
     # capacity factor e/k guarantees no token drops (needed for exact
     # prefill↔decode consistency); lower values match training-time MoE
     moe_capacity_factor: float = 1.25
+    # sequences at/above this length route attention through the
+    # segment-aware causal pallas flash kernel instead of the dense
+    # [B, H, T, S] bias path (whose f32 scores are ~13 GB at the UALM
+    # 16k bucket — single-chip OOM). Decode steps (t=1) keep the dense
+    # path; only long prefill/training forwards switch.
+    flash_min_len: int = 4096
 
     @staticmethod
     def qwen25_1_5b():
@@ -107,7 +113,7 @@ class Attention(nn.Module):
     cfg: BackboneConfig
 
     @nn.compact
-    def __call__(self, x, position_ids, attn_bias, layer_cache=None):
+    def __call__(self, x, position_ids, attn_bias, layer_cache=None, flash_info=None):
         cfg = self.cfg
         b, t, _ = x.shape
         head_dim = cfg.hidden_size // cfg.num_heads
@@ -132,11 +138,46 @@ class Attention(nn.Module):
         kx = jnp.repeat(k, groups, axis=2)
         vx = jnp.repeat(v, groups, axis=2)
 
-        scale = 1.0 / np.sqrt(head_dim)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kx).astype(jnp.float32)
-        logits = logits + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1).astype(vx.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
+        if flash_info is not None:
+            # segment-aware causal flash (O(T) VMEM): the dense path
+            # below materializes [B, H, T, S] f32 scores — 13 GB at the
+            # reference's 16k token bucket. Shapes pad to block
+            # multiples; padded queries/keys carry segment −2/−1 so they
+            # match nothing and slice away.
+            from audio_intelligence_tpu.ops.pallas_attention import (
+                flash_attention_segmented,
+            )
+
+            q_pos, q_seg, kv_pos, kv_seg = flash_info
+            s_len = kx.shape[1]
+            pad_t = (-t) % 256
+            pad_s = (-s_len) % 512
+            qh = jnp.moveaxis(q, 2, 1)
+            kh = jnp.moveaxis(kx, 2, 1)
+            vh = jnp.moveaxis(vx, 2, 1)
+            if pad_t:
+                qh = jnp.pad(qh, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+                q_pos = jnp.pad(q_pos, ((0, 0), (0, pad_t)))
+                q_seg = jnp.pad(
+                    q_seg, ((0, 0), (0, pad_t)), constant_values=-2
+                )
+            if pad_s:
+                kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+                vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+                kv_pos = jnp.pad(kv_pos, ((0, 0), (0, pad_s)))
+                kv_seg = jnp.pad(
+                    kv_seg, ((0, 0), (0, pad_s)), constant_values=-1
+                )
+            out = flash_attention_segmented(
+                qh, kh, vh, q_pos, kv_pos, q_seg, kv_seg
+            )
+            out = jnp.moveaxis(out[:, :, :t], 1, 2)
+        else:
+            scale = 1.0 / np.sqrt(head_dim)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, kx).astype(jnp.float32)
+            logits = logits + attn_bias
+            probs = jax.nn.softmax(logits, axis=-1).astype(vx.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vx)
         out = out.reshape(b, t, cfg.num_heads * head_dim)
         out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
         return out, new_cache
@@ -158,12 +199,13 @@ class DecoderLayer(nn.Module):
     cfg: BackboneConfig
 
     @nn.compact
-    def __call__(self, x, position_ids, attn_bias, layer_cache=None):
+    def __call__(self, x, position_ids, attn_bias, layer_cache=None, flash_info=None):
         h, new_cache = Attention(self.cfg, name="self_attn")(
             RMSNorm(self.cfg.rms_eps, name="input_layernorm")(x),
             position_ids,
             attn_bias,
             layer_cache,
+            flash_info=flash_info,
         )
         x = x + h
         normed = RMSNorm(self.cfg.rms_eps, name="post_attention_layernorm")(x)
@@ -215,11 +257,17 @@ class QwenBackbone(nn.Module):
             position_ids = jnp.broadcast_to(jnp.arange(t), (b, t))
         q_segments = segment_ids_from_positions(position_ids)
 
+        flash_info = None
+        use_flash = t >= cfg.flash_min_len
         if cache is None:
-            bias = self._attn_bias(
-                position_ids, position_ids, q_segments, q_segments,
-                jnp.ones((b, t), bool),
-            )
+            if use_flash:
+                bias = None
+                flash_info = (position_ids, q_segments, position_ids, q_segments)
+            else:
+                bias = self._attn_bias(
+                    position_ids, position_ids, q_segments, q_segments,
+                    jnp.ones((b, t), bool),
+                )
         else:
             max_len = cache.k.shape[2]
             kv_valid = jnp.arange(max_len)[None, :] < (cache.index + t)
@@ -233,7 +281,16 @@ class QwenBackbone(nn.Module):
                 q_segments = jnp.zeros_like(q_segments)
             else:
                 kv_seg = cache_segments
-            bias = self._attn_bias(position_ids, kv_pos, kv_seg, q_segments, kv_valid)
+            if use_flash:
+                bias = None
+                flash_info = (
+                    position_ids, q_segments, kv_pos,
+                    jnp.where(kv_valid, kv_seg, -1),
+                )
+            else:
+                bias = self._attn_bias(
+                    position_ids, kv_pos, kv_seg, q_segments, kv_valid
+                )
 
         x = embeds
         new_k, new_v = [], []
@@ -243,7 +300,7 @@ class QwenBackbone(nn.Module):
             if cache is not None:
                 layer_cache = (cache.k[i], cache.v[i], cache.index)
             x, lc, aux = DecoderLayer(cfg, name=f"layers_{i}")(
-                x, position_ids, bias, layer_cache
+                x, position_ids, bias, layer_cache, flash_info=flash_info
             )
             moe_aux = moe_aux + aux
             if lc is not None:

@@ -64,6 +64,112 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, scale: 
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_seg_kernel(
+    q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, *, block_k: int, scale: float
+):
+    """Segment-aware causal flash: one (batch·head, q-block) program.
+
+    qinfo [2, BLOCK_Q] / kinfo [2, S] carry (position; segment id) rows
+    per token — row-major so the token axis is lane-minor (a [S, 2]
+    layout would pad the 2-wide minor axis to 128 lanes, ~4 MB of VMEM
+    at 16k keys). A key is visible iff ``k_pos <= q_pos and k_seg ==
+    q_seg and k_seg >= 0`` (invalid keys marked seg = -1) — the
+    packed-batch varlen masking of the UALM backbone (flash-attn
+    cu_seqlens equivalent) without ever materializing the [T, T] bias.
+    """
+    q = q_ref[:].astype(jnp.float32) * scale
+    d = q_ref.shape[-1]
+    block_q = q_ref.shape[0]
+    num_kv = k_ref.shape[0] // block_k
+    q_pos = qinfo_ref[0, :][:, None]  # [BLOCK_Q, 1]
+    q_seg = qinfo_ref[1, :][:, None]
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_pos = kinfo_ref[0, pl.ds(i * block_k, block_k)][None, :]
+        k_seg = kinfo_ref[1, pl.ds(i * block_k, block_k)][None, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ok = (k_pos <= q_pos) & (k_seg == q_seg) & (k_seg >= 0)
+        s = jnp.where(ok, s, -1e30)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * correction + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention_segmented(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    q_positions: jax.Array,
+    kv_positions: jax.Array,
+    q_segments: jax.Array,
+    kv_segments: jax.Array,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal, segment-masked blocked attention for packed batches.
+
+    q [B, H, T, D] × k/v [B, H, S, D]; positions/segments are [B, T] /
+    [B, S] int32 (mark padded/invalid keys with segment -1). O(T) VMEM —
+    the dense-bias path materializes [B, H, T, S] f32 scores, which at
+    the UALM 16k bucket is ~13 GB and cannot run on one chip. T must be
+    a multiple of block_q and S of block_k (pad + seg=-1 for ragged).
+    """
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    block_q = min(block_q, t)
+    block_k = min(block_k, s)
+    assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
+    scale = 1.0 / math.sqrt(d)
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    qinfo = jnp.stack([q_positions, q_segments], axis=1).astype(jnp.int32)
+    kinfo = jnp.stack([kv_positions, kv_segments], axis=1).astype(jnp.int32)
+    # broadcast per head: [B, 2, T] → [B·H, 2, T] (token axis lane-minor)
+    qinfo = jnp.broadcast_to(qinfo[:, None], (b, h, 2, t)).reshape(b * h, 2, t)
+    kinfo = jnp.broadcast_to(kinfo[:, None], (b, h, 2, s)).reshape(b * h, 2, s)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_seg_kernel, block_k=block_k, scale=scale),
+        grid=(b * h, t // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, 2, block_q), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((None, 2, s), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, qinfo, kinfo)
+    return out.reshape(b, h, t, d)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

@@ -581,12 +581,11 @@ def bench_ualm_16k():
     from audio_intelligence_tpu.models.ualm.lm import ParallelLM
 
     dtype = jnp.bfloat16
-    # 8k packed context: the backbone's XLA attention materializes the
-    # [H, T, T] score tensor, and 16k scores (12 x 16448^2 f32) exceed a
-    # single chip's HBM — the 16k regime needs the blockwise pallas
-    # flash path wired into prefill (PERF.md roadmap). 8k fits and
-    # exercises the same segment-masked long-context path.
-    ctx, n_new = 8192, 64
+    # full 16k packed context (the reference bucket): prefill routes
+    # through the segment-aware causal pallas flash kernel
+    # (backbone flash_min_len) — the dense path's [H, T, T] f32 scores
+    # are ~13 GB at this length and cannot run on one chip.
+    ctx, n_new = 16384, 64
     vocab, num_stream = 152064, 8
     model = ParallelLM(
         cfg=BackboneConfig.qwen25_1_5b(), vocab_size=vocab, num_stream=num_stream
