@@ -65,51 +65,58 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, scale: 
 
 
 def _flash_seg_kernel(
-    q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, *, block_k: int, scale: float
+    q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, m_s, l_s, acc_s,
+    *, scale: float
 ):
-    """Segment-aware causal flash: one (batch·head, q-block) program.
+    """Segment-aware causal flash: one (batch·head, q-block, k-block)
+    program — K/V stream through the THIRD grid axis so only one
+    [block_k, D] tile lives in VMEM at a time (whole-S blocks double-
+    buffer past v5e's VMEM at 16k keys); (m, l, acc) carry in scratch
+    across the k-blocks of a q-block.
 
-    qinfo [2, BLOCK_Q] / kinfo [2, S] carry (position; segment id) rows
-    per token — row-major so the token axis is lane-minor (a [S, 2]
-    layout would pad the 2-wide minor axis to 128 lanes, ~4 MB of VMEM
-    at 16k keys). A key is visible iff ``k_pos <= q_pos and k_seg ==
-    q_seg and k_seg >= 0`` (invalid keys marked seg = -1) — the
-    packed-batch varlen masking of the UALM backbone (flash-attn
-    cu_seqlens equivalent) without ever materializing the [T, T] bias.
+    qinfo [2, BLOCK_Q] / kinfo [2, BLOCK_K] carry (position; segment id)
+    rows per token — token axis lane-minor. A key is visible iff
+    ``k_pos <= q_pos and k_seg == q_seg and k_seg >= 0`` (invalid keys
+    marked seg = -1) — the packed-batch varlen masking of the UALM
+    backbone (flash-attn cu_seqlens equivalent) without ever
+    materializing the [T, T] bias.
     """
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
     q = q_ref[:].astype(jnp.float32) * scale
-    d = q_ref.shape[-1]
-    block_q = q_ref.shape[0]
-    num_kv = k_ref.shape[0] // block_k
-    q_pos = qinfo_ref[0, :][:, None]  # [BLOCK_Q, 1]
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    q_pos = qinfo_ref[0, :][:, None]
     q_seg = qinfo_ref[1, :][:, None]
+    k_pos = kinfo_ref[0, :][None, :]
+    k_seg = kinfo_ref[1, :][None, :]
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        k_pos = kinfo_ref[0, pl.ds(i * block_k, block_k)][None, :]
-        k_seg = kinfo_ref[1, pl.ds(i * block_k, block_k)][None, :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ok = (k_pos <= q_pos) & (k_seg == q_seg) & (k_seg >= 0)
-        s = jnp.where(ok, s, -1e30)
+    sc = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ok = (k_pos <= q_pos) & (k_seg == q_seg) & (k_seg >= 0)
+    sc = jnp.where(ok, sc, -1e30)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        correction = jnp.exp(m - m_new)
-        l_new = l * correction + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * correction + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc_new
+    m_prev, l_prev, acc_prev = m_s[:], l_s[:], acc_s[:]
+    m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+    p = jnp.exp(sc - m_new)
+    correction = jnp.exp(m_prev - m_new)
+    m_s[:] = m_new
+    l_s[:] = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    acc_s[:] = acc_prev * correction + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
-    m0 = jnp.full((block_q, 1), -1e30, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, (m0, l0, acc0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(kk == nk - 1)
+    def _finish():
+        o_ref[:] = (acc_s[:] / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
 
 
 def flash_attention_segmented(
@@ -151,19 +158,24 @@ def flash_attention_segmented(
     vf = v.reshape(b * h, s, d)
 
     out = pl.pallas_call(
-        functools.partial(_flash_seg_kernel, block_k=block_k, scale=scale),
-        grid=(b * h, t // block_q),
+        functools.partial(_flash_seg_kernel, scale=scale),
+        grid=(b * h, t // block_q, s // block_k),
         in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, 2, block_q), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((None, 2, s), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((None, 2, block_q), lambda i, j, kk: (i, 0, j)),
+            pl.BlockSpec((None, 2, block_k), lambda i, j, kk: (i, 0, kk)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qf, kf, vf, qinfo, kinfo)
