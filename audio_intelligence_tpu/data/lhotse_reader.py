@@ -85,8 +85,12 @@ class _ManifestItem:
             audio = audio[:, i0:i1]
             chan = self.row.get("channel", 0)
             chan = [chan] if isinstance(chan, int) else list(chan)
-            if max(chan) < audio.shape[0]:
-                audio = audio[chan]
+            if max(chan) >= audio.shape[0]:
+                raise ValueError(
+                    f"cut {self.id!r} requests channel(s) {chan} but the "
+                    f"recording decodes to {audio.shape[0]} channel(s)"
+                )
+            audio = audio[chan]
         # contract: always [num_channels, num_samples] (audio_loader.py:78-90)
         if audio.ndim == 1:
             audio = audio[np.newaxis, :]

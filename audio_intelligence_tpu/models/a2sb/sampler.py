@@ -256,6 +256,14 @@ def bridge_sample(
     overlap. Quality-gated against true overlap in
     tests/test_a2sb_overlap.py.
 
+    ``mask`` is assumed BINARY (0 = known region, 1 = to restore), as
+    every reference corruption produces (corruptions.py masks are 0/1):
+    the posterior noise and the known-region re-noise share one normal
+    draw, which is distribution-identical only because the two uses
+    compose on disjoint {mask==0}/{mask==1} regions. A soft mask
+    (0 < m < 1) would compose the stds linearly instead of in
+    quadrature — pass separate draws if that is ever needed.
+
     The whole loop is one ``lax.scan``; nothing leaves the device.
     """
     original_width = x_1.shape[-2]

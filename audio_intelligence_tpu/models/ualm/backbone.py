@@ -50,8 +50,15 @@ class BackboneConfig:
     # segment-aware causal pallas flash kernel instead of the dense
     # [B, H, T, S] bias path (whose f32 scores are ~13 GB at the UALM
     # 16k bucket — single-chip OOM). Decode steps (t=1) keep the dense
-    # path; only long prefill/training forwards switch.
+    # path; only long prefill/training forwards switch. The kernel has a
+    # FlashAttention-2 custom_vjp backward, so training forwards route
+    # through it too (the reference trains its 16000-token bucket on
+    # differentiable CUDA flash-attn — conf/train.yaml:35-37).
     flash_min_len: int = 4096
+    # per-layer activation rematerialization (ualm_job.py:153-154 /
+    # deepspeed.json activation checkpointing): at the 16k bucket the
+    # un-remat'd backward's per-layer intermediates exceed one chip.
+    remat: bool = False
 
     @staticmethod
     def qwen25_1_5b():
@@ -295,11 +302,17 @@ class QwenBackbone(nn.Module):
         x = embeds
         new_k, new_v = [], []
         moe_aux = 0.0
+        layer_cls = DecoderLayer
+        if cfg.remat:
+            layer_cls = nn.remat(
+                DecoderLayer,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
         for i in range(cfg.num_layers):
             layer_cache = None
             if cache is not None:
                 layer_cache = (cache.k[i], cache.v[i], cache.index)
-            x, lc, aux = DecoderLayer(cfg, name=f"layers_{i}")(
+            x, lc, aux = layer_cls(cfg, name=f"layers_{i}")(
                 x, position_ids, bias, layer_cache, flash_info=flash_info
             )
             moe_aux = moe_aux + aux

@@ -131,26 +131,9 @@ class ParallelLM(nn.Module):
         return jnp.einsum("btsh,hv->btsv", stream_hidden[:, :, 1:, :], w)
 
 
-def multistream_loss(
-    model: ParallelLM,
-    variables,
-    input_ids: jax.Array,
-    loss_mask: jax.Array,
-    loss_intervals: Sequence[Tuple[int, int]],
-    position_ids=None,
-    conti=None,
-    compute_acc: bool = False,
-):
-    """The UALM loss (parallel.py:286-384), dense-masked formulation.
-
-    Returns (loss, stats). Normalization matches the reference:
-    Σ(loss·mask) / Σ(mask[..., 0] ≠ 0).
-    """
-    stream_hidden = model.apply(variables, input_ids, position_ids, conti)
-    h = stream_hidden[:, :-1]
-    targets = input_ids[:, 1:]
-    mask = loss_mask[:, 1:]
-
+def _positionwise_ce(model, variables, h, targets, loss_intervals, compute_acc):
+    """Per-position CE [B, Tc, S] (+ correctness [B, Tc, S]) for a block of
+    shifted hidden states h [B, Tc, S, H] / targets [B, Tc, S]."""
     # stream 0: full vocab CE, pad id 0 ignored
     logits0 = model.apply(variables, h, method=ParallelLM.logits_full)
     logits0 = logits0.astype(jnp.float32)
@@ -178,11 +161,97 @@ def multistream_loss(
         if compute_acc:
             acc_resid = acc_resid | (in_int & (jnp.argmax(logits_i, -1) == tgt_rel))
 
-    loss = jnp.concatenate([ce0[..., None], ce_resid], axis=2)
-    if compute_acc:
-        acc = jnp.concatenate([acc0[..., None], acc_resid], axis=2)
+    ce = jnp.concatenate([ce0[..., None], ce_resid], axis=2)
+    acc = (
+        jnp.concatenate([acc0[..., None], acc_resid], axis=2)
+        if compute_acc
+        else None
+    )
+    return ce, acc
 
-    loss = loss * mask
+
+def multistream_loss(
+    model: ParallelLM,
+    variables,
+    input_ids: jax.Array,
+    loss_mask: jax.Array,
+    loss_intervals: Sequence[Tuple[int, int]],
+    position_ids=None,
+    conti=None,
+    compute_acc: bool = False,
+    time_chunk: int | None = None,
+):
+    """The UALM loss (parallel.py:286-384), dense-masked formulation.
+
+    Returns (loss, stats). Normalization matches the reference:
+    Σ(loss·mask) / Σ(mask[..., 0] ≠ 0).
+
+    ``time_chunk``: stream the CE over time blocks with a remat'd
+    ``lax.scan`` — the stream-0 full-vocab f32 logits are [B, T, 152k]
+    ≈ 10 GB at the reference's 16k bucket, which no single chip holds.
+    Chunking bounds logit memory at O(time_chunk · V) in both directions
+    (the reference instead splits loss_intervals ≤ 13192,
+    parallel.py:151-173 — same idea on the vocab axis; the time axis
+    chunks evenly for packed batches and keeps each block's matmul MXU-
+    shaped). Identical value to the unchunked path (test-gated).
+    """
+    stream_hidden = model.apply(variables, input_ids, position_ids, conti)
+    h = stream_hidden[:, :-1]
+    targets = input_ids[:, 1:]
+    mask = loss_mask[:, 1:]
+
+    if time_chunk and h.shape[1] > time_chunk:
+        b, tlen = h.shape[0], h.shape[1]
+        pad = (-tlen) % time_chunk
+        if pad:
+            h = jnp.pad(h, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            targets = jnp.pad(targets, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
+        n = (tlen + pad) // time_chunk
+        s = targets.shape[-1]
+
+        def split(x):
+            return jnp.moveaxis(
+                x.reshape((b, n, time_chunk) + x.shape[2:]), 1, 0
+            )
+
+        @jax.checkpoint
+        def body(carry, xs):
+            hc, tc, mc = xs
+            ce, acc = _positionwise_ce(
+                model, variables, hc, tc, loss_intervals, compute_acc
+            )
+            ce = ce * mc
+            valid = (mc != 0.0).astype(jnp.float32)
+            loss_sums, valid_sums, acc_sums = carry
+            loss_sums = loss_sums + jnp.sum(ce, axis=(0, 1))
+            valid_sums = valid_sums + jnp.sum(valid, axis=(0, 1))
+            if compute_acc:
+                acc_sums = acc_sums + jnp.sum(acc * valid, axis=(0, 1))
+            return (loss_sums, valid_sums, acc_sums), None
+
+        init = (
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+            jnp.zeros((s,), jnp.float32),
+        )
+        (loss_sums, valid_sums, acc_sums), _ = jax.lax.scan(
+            body, init, (split(h), split(targets), split(mask))
+        )
+        count0 = valid_sums[0]
+        total = jnp.sum(loss_sums) / jnp.maximum(count0, 1.0)
+        stats = {"loss": total}
+        per_stream = loss_sums / jnp.maximum(valid_sums, 1.0)
+        for k in range(s):
+            stats[f"ce_q{k}"] = per_stream[k]
+        if compute_acc:
+            stats["acc"] = jnp.sum(acc_sums) / jnp.maximum(jnp.sum(valid_sums), 1.0)
+        return total, stats
+
+    ce, acc = _positionwise_ce(
+        model, variables, h, targets, loss_intervals, compute_acc
+    )
+    loss = ce * mask
     count0 = jnp.sum((mask[:, :, 0] != 0.0).astype(jnp.float32))
     total = jnp.sum(loss) / jnp.maximum(count0, 1.0)
     stats = {"loss": total}

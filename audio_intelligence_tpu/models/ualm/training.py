@@ -89,8 +89,13 @@ def make_ualm_train_step(
     model: ParallelLM,
     tx,
     loss_intervals,
+    time_chunk: int | None = None,
 ):
-    """One jitted step over a collated batch (seqs, loss_masks[, position_ids])."""
+    """One jitted step over a collated batch (seqs, loss_masks[, position_ids]).
+
+    ``time_chunk``: stream the CE over time blocks (see multistream_loss) —
+    required at the reference's 16000-token bucket, where the full-vocab
+    logits alone exceed one chip's HBM."""
 
     def step(state: UALMTrainState, batch):
         def loss_fn(params):
@@ -102,6 +107,7 @@ def make_ualm_train_step(
                 batch["loss_masks"],
                 loss_intervals,
                 position_ids=batch.get("position_ids"),
+                time_chunk=time_chunk,
             )
             return loss, stats
 

@@ -64,6 +64,18 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int, scale: 
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _seg_visibility(qinfo_ref, kinfo_ref):
+    """[BLOCK_Q, BLOCK_K] bool visibility + a scalar "any visible" used to
+    skip the MXU work of fully-masked blocks (with causal packing, about
+    half of all (q-block, k-block) pairs)."""
+    q_pos = qinfo_ref[0, :][:, None]
+    q_seg = qinfo_ref[1, :][:, None]
+    k_pos = kinfo_ref[0, :][None, :]
+    k_seg = kinfo_ref[1, :][None, :]
+    ok = (k_pos <= q_pos) & (k_seg == q_seg) & (k_seg >= 0)
+    return ok
+
+
 def _flash_seg_kernel(
     q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, m_s, l_s, acc_s,
     *, scale: float
@@ -90,33 +102,319 @@ def _flash_seg_kernel(
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
 
-    q = q_ref[:].astype(jnp.float32) * scale
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    q_pos = qinfo_ref[0, :][:, None]
-    q_seg = qinfo_ref[1, :][:, None]
-    k_pos = kinfo_ref[0, :][None, :]
-    k_seg = kinfo_ref[1, :][None, :]
+    ok = _seg_visibility(qinfo_ref, kinfo_ref)
 
-    sc = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ok = (k_pos <= q_pos) & (k_seg == q_seg) & (k_seg >= 0)
-    sc = jnp.where(ok, sc, -1e30)
+    @pl.when(jnp.any(ok))
+    def _visible():
+        q = q_ref[:].astype(jnp.float32) * scale
+        k = k_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sc = jnp.where(ok, sc, -1e30)
 
-    m_prev, l_prev, acc_prev = m_s[:], l_s[:], acc_s[:]
-    m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
-    p = jnp.exp(sc - m_new)
-    correction = jnp.exp(m_prev - m_new)
-    m_s[:] = m_new
-    l_s[:] = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
-    acc_s[:] = acc_prev * correction + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+        m_prev, l_prev, acc_prev = m_s[:], l_s[:], acc_s[:]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        m_s[:] = m_new
+        l_s[:] = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_prev * correction + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     @pl.when(kk == nk - 1)
     def _finish():
         o_ref[:] = (acc_s[:] / jnp.maximum(l_s[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_seg_kernel_lse(
+    q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, lse_ref,
+    m_s, l_s, acc_s, *, scale: float
+):
+    """Forward used under differentiation: identical recurrence, but also
+    writes the per-row logsumexp (m + log l) the FlashAttention-2 backward
+    recomputes probabilities from. Rows with no visible key get a finite
+    guard lse (l clamps at 1e-30) so the backward stays NaN-free."""
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, -1e30)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    ok = _seg_visibility(qinfo_ref, kinfo_ref)
+
+    @pl.when(jnp.any(ok))
+    def _visible():
+        q = q_ref[:].astype(jnp.float32) * scale
+        k = k_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(jnp.float32)
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sc = jnp.where(ok, sc, -1e30)
+        m_prev, l_prev, acc_prev = m_s[:], l_s[:], acc_s[:]
+        m_new = jnp.maximum(m_prev, jnp.max(sc, axis=-1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        correction = jnp.exp(m_prev - m_new)
+        m_s[:] = m_new
+        l_s[:] = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[:] = acc_prev * correction + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kk == nk - 1)
+    def _finish():
+        l = jnp.maximum(l_s[:], 1e-30)
+        o_ref[:] = (acc_s[:] / l).astype(o_ref.dtype)
+        lse_ref[:] = m_s[:] + jnp.log(l)  # [BLOCK_Q, 1]
+
+
+def _flash_seg_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, aux_ref, qinfo_ref, kinfo_ref, dq_ref, dq_s,
+    *, scale: float
+):
+    """dq pass: grid (B·H, T/BLOCK_Q, S/BLOCK_K) — K/V stream through the
+    inner axis, dq accumulates in scratch. aux rows: (lse; delta=Σ dO·O).
+
+      p  = exp(q·kᵀ·scale − lse)          (recomputed, never stored)
+      dp = dO·vᵀ;  ds = p·(dp − delta)·scale;  dq += ds·k
+    """
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        dq_s[:] = jnp.zeros_like(dq_s)
+
+    ok = _seg_visibility(qinfo_ref, kinfo_ref)
+
+    @pl.when(jnp.any(ok))
+    def _visible():
+        q = q_ref[:].astype(jnp.float32) * scale
+        k = k_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(jnp.float32)
+        do = do_ref[:].astype(jnp.float32)
+        lse = aux_ref[0, :][:, None]
+        delta = aux_ref[1, :][:, None]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        sc = jnp.where(ok, sc, -1e30)
+        p = jnp.exp(sc - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dq_s[:] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype).astype(jnp.float32), k,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kk == nk - 1)
+    def _finish():
+        dq_ref[:] = dq_s[:].astype(dq_ref.dtype)
+
+
+def _flash_seg_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, aux_ref, qinfo_ref, kinfo_ref,
+    dk_ref, dv_ref, dk_s, dv_s, *, scale: float
+):
+    """dk/dv pass: grid (B·H, S/BLOCK_K, T/BLOCK_Q) — Q/dO stream through
+    the inner axis, dk/dv accumulate in scratch.
+
+      dv += pᵀ·dO;  dk += dsᵀ·q·scale
+    """
+    qq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qq == 0)
+    def _init():
+        dk_s[:] = jnp.zeros_like(dk_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
+
+    ok = _seg_visibility(qinfo_ref, kinfo_ref)
+
+    @pl.when(jnp.any(ok))
+    def _visible():
+        q = q_ref[:].astype(jnp.float32)
+        k = k_ref[:].astype(jnp.float32)
+        v = v_ref[:].astype(jnp.float32)
+        do = do_ref[:].astype(jnp.float32)
+        lse = aux_ref[0, :][:, None]
+        delta = aux_ref[1, :][:, None]
+        sc = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sc = jnp.where(ok, sc, -1e30)
+        p = jnp.exp(sc - lse)  # [BLOCK_Q, BLOCK_K]
+        dv_s[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype).astype(jnp.float32), do,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_s[:] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype).astype(jnp.float32), q,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qq == nq - 1)
+    def _finish():
+        dk_ref[:] = dk_s[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_s[:].astype(dv_ref.dtype)
+
+
+def _seg_attn_fwd_impl(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
+                       with_lse):
+    bh, t, d = qf.shape
+    s = kf.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    kernel = _flash_seg_kernel_lse if with_lse else _flash_seg_kernel
+    out_shape = jax.ShapeDtypeStruct((bh, t, d), qf.dtype)
+    out_specs = pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0))
+    if with_lse:
+        out_shape = [out_shape, jax.ShapeDtypeStruct((bh, t, 1), jnp.float32)]
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((None, block_q, 1), lambda i, j, kk: (i, j, 0)),
+        ]
+    return pl.pallas_call(
+        functools.partial(kernel, scale=scale),
+        grid=(bh, t // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((None, 2, block_q), lambda i, j, kk: (i, 0, j)),
+            pl.BlockSpec((None, 2, block_k), lambda i, j, kk: (i, 0, kk)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, qinfo, kinfo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _seg_attn(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret):
+    """Differentiable core on flattened [B·H, ...] operands.
+
+    Forward = FlashAttention-2 online softmax; backward = the FA-2 two-pass
+    recomputation (dq pass streaming K/V, dk/dv pass streaming Q/dO) wired
+    as ``jax.custom_vjp`` — the TPU equivalent of the reference's
+    differentiable CUDA flash-attn training path
+    (ETTA/stable_audio_tools/models/etta_transformer.py:333-409; HF
+    flash_attention_2 in modeling_whisper.py). O(T) memory in both
+    directions, so the UALM 16k-token training bucket fits on one chip.
+    """
+    return _seg_attn_fwd_impl(
+        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret, with_lse=False
+    )
+
+
+def _seg_attn_fwd(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret):
+    out, lse = _seg_attn_fwd_impl(
+        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret, with_lse=True
+    )
+    return out, (qf, kf, vf, qinfo, kinfo, out, lse)
+
+
+def _seg_attn_bwd(block_q, block_k, interpret, res, g):
+    qf, kf, vf, qinfo, kinfo, out, lse = res
+    bh, t, d = qf.shape
+    s = kf.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    # delta = Σ_d dO·O per row — the softmax-jacobian diagonal term
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    aux = jnp.stack([lse[:, :, 0], delta], axis=1)  # [B·H, 2, T]
+
+    in_shapes = [
+        (None, block_q, d),   # q
+        (None, block_k, d),   # k
+        (None, block_k, d),   # v
+        (None, block_q, d),   # dO
+        (None, 2, block_q),   # aux (lse; delta)
+        (None, 2, block_q),   # qinfo
+        (None, 2, block_k),   # kinfo
+    ]
+
+    def specs(maps):
+        return [pl.BlockSpec(sh, m) for sh, m in zip(in_shapes, maps)]
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_seg_bwd_dq_kernel, scale=scale),
+        grid=(bh, t // block_q, s // block_k),
+        in_specs=specs([
+            lambda i, j, kk: (i, j, 0),
+            lambda i, j, kk: (i, kk, 0),
+            lambda i, j, kk: (i, kk, 0),
+            lambda i, j, kk: (i, j, 0),
+            lambda i, j, kk: (i, 0, j),
+            lambda i, j, kk: (i, 0, j),
+            lambda i, j, kk: (i, 0, kk),
+        ]),
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, g, aux, qinfo, kinfo)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_seg_bwd_dkv_kernel, scale=scale),
+        grid=(bh, s // block_k, t // block_q),
+        in_specs=specs([
+            lambda i, j, qq: (i, qq, 0),
+            lambda i, j, qq: (i, j, 0),
+            lambda i, j, qq: (i, j, 0),
+            lambda i, j, qq: (i, qq, 0),
+            lambda i, j, qq: (i, 0, qq),
+            lambda i, j, qq: (i, 0, qq),
+            lambda i, j, qq: (i, 0, j),
+        ]),
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda i, j, qq: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j, qq: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s, d), kf.dtype),
+            jax.ShapeDtypeStruct((bh, s, d), vf.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, g, aux, qinfo, kinfo)
+
+    import numpy as _np
+
+    zero_info = _np.zeros(qinfo.shape, jax.dtypes.float0)
+    zero_kinfo = _np.zeros(kinfo.shape, jax.dtypes.float0)
+    return dq, dk, dv, zero_info, zero_kinfo
+
+
+_seg_attn.defvjp(_seg_attn_fwd, _seg_attn_bwd)
 
 
 def flash_attention_segmented(
@@ -138,13 +436,16 @@ def flash_attention_segmented(
     the dense-bias path materializes [B, H, T, S] f32 scores, which at
     the UALM 16k bucket is ~13 GB and cannot run on one chip. T must be
     a multiple of block_q and S of block_k (pad + seg=-1 for ragged).
+
+    Differentiable: a FlashAttention-2 two-pass backward is wired via
+    ``jax.custom_vjp`` (see ``_seg_attn``), so training forwards at the
+    reference's 16k bucket can route through this kernel.
     """
     b, h, t, d = q.shape
     s = k.shape[2]
     block_q = min(block_q, t)
     block_k = min(block_k, s)
     assert t % block_q == 0 and s % block_k == 0, (t, s, block_q, block_k)
-    scale = 1.0 / math.sqrt(d)
     interpret = interpret or jax.default_backend() == "cpu"
 
     qinfo = jnp.stack([q_positions, q_segments], axis=1).astype(jnp.int32)
@@ -157,28 +458,7 @@ def flash_attention_segmented(
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_seg_kernel, scale=scale),
-        grid=(b * h, t // block_q, s // block_k),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((None, 2, block_q), lambda i, j, kk: (i, 0, j)),
-            pl.BlockSpec((None, 2, block_k), lambda i, j, kk: (i, 0, kk)),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qf, kf, vf, qinfo, kinfo)
+    out = _seg_attn(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret)
     return out.reshape(b, h, t, d)
 
 

@@ -92,7 +92,10 @@ def quant_conv2d(
         # call — XLA does not hoist it out of the sampling scan past the
         # layout barriers (measured 6% of the restore step). Production
         # inference pre-quantizes at load time via
-        # ``prequantize_conv_weights`` and passes (w_q, s_w) here.
+        # ``models.a2sb.unet.prequantize_unet`` (one mutable forward that
+        # materializes the ``qweights`` collection, including the derived
+        # UpsampleConv2x/SmallCoutConv3x3 forms) and QConv reads
+        # (w_q, s_w) from that collection instead of reaching this branch.
         s_w = symmetric_scales(kernel, axis=3)  # per output channel [Cout]
         w_q = quantize_int8(kernel, s_w[None, None, None, :])
 
@@ -116,25 +119,3 @@ def quant_conv2d(
     return y.astype(in_dtype)
 
 
-def prequantize_conv_weights(params: dict) -> dict:
-    """Load-time weight quantization for int8 inference.
-
-    Walks a flax params tree and, for every 4-D HWIO conv ``kernel``,
-    computes the per-output-channel scales and int8 kernel ONCE —
-    returned as a parallel tree suitable for the ``qweights`` collection:
-    ``model.apply({"params": p, "qweights": prequantize_conv_weights(p)},
-    ...)``. QConv consumes (w_q, s_w) and skips the per-call dynamic
-    weight quantization (with params as jit arguments that otherwise
-    costs a full pass over all weights per sampling step).
-    """
-    out = {}
-    for k, v in params.items():
-        if isinstance(v, dict):
-            sub = prequantize_conv_weights(v)
-            if sub:
-                out[k] = sub
-        elif k == "kernel" and getattr(v, "ndim", 0) == 4:
-            s_w = symmetric_scales(v, axis=3)
-            out["w_q"] = quantize_int8(v, s_w[None, None, None, :])
-            out["s_w"] = s_w
-    return out

@@ -516,11 +516,16 @@ def bench_etta_train():
 
 def bench_ualm_train(seq_len: int = 2048):
     """1.5B-class ParallelLM multi-stream CE train step: packed batch
-    [1, seq_len, 8] (reference bucket is 16000 tokens across packed
-    documents — seq 2048 is the documented single-chip sub-flagship;
-    the 32-GPU recipe shards the rest), interval softmax on streams 1+,
-    adafactor (factored moments — adam's 2 fp32 moments alone exceed a
-    single v5e's HBM at 1.78 B params), remat'd backbone."""
+    [1, seq_len, 8], interval softmax on streams 1+, adafactor (factored
+    moments — adam's 2 fp32 moments alone exceed a single v5e's HBM at
+    1.78 B params).
+
+    ``--seq_len 16384`` is the reference's training regime (bucket 16000
+    tokens, conf/train.yaml:35-37): attention routes through the
+    differentiable segment-flash kernel, the backbone remats per layer,
+    and the CE streams over 2048-token chunks (the full-vocab f32 logits
+    alone are ~10 GB at 16k). seq 2048 (the r3 configuration) stays the
+    dense-path point of comparison."""
     jax = _jax_setup()
     import jax.numpy as jnp
     import optax
@@ -534,9 +539,11 @@ def bench_ualm_train(seq_len: int = 2048):
 
     dtype = jnp.bfloat16
     vocab, num_stream = 152064, 8
-    model = ParallelLM(
-        cfg=BackboneConfig.qwen25_1_5b(), vocab_size=vocab, num_stream=num_stream
-    )
+    long_ctx = seq_len >= 4096
+    cfg = BackboneConfig.qwen25_1_5b()
+    if long_ctx:
+        cfg = BackboneConfig(**{**cfg.__dict__, "remat": True})
+    model = ParallelLM(cfg=cfg, vocab_size=vocab, num_stream=num_stream)
     ids = jnp.zeros((1, 8, num_stream), jnp.int32)
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids))
     params = _random_params(jax, shapes, dtype)["params"]
@@ -548,13 +555,23 @@ def bench_ualm_train(seq_len: int = 2048):
     base = 151000 - num_stream * 1026
     intervals = [(base + i * 1026, base + (i + 1) * 1026) for i in range(num_stream)]
     rng = np.random.default_rng(0)
+    # packed documents (position ids restart) — the bucket-16000 batches
+    # pack multiple clips; restarts exercise the segment-masked attention
+    doc_len = 2048
+    pos = np.tile(np.arange(doc_len), seq_len // doc_len + 1)[:seq_len]
     batch = {
         "seqs": jnp.asarray(
             rng.integers(0, 32000, (1, seq_len, num_stream)), jnp.int32
         ),
         "loss_masks": jnp.ones((1, seq_len, num_stream), dtype),
+        "position_ids": jnp.asarray(pos[None], jnp.int32),
     }
-    step = jax.jit(make_ualm_train_step(model, tx, intervals), donate_argnums=0)
+    step = jax.jit(
+        make_ualm_train_step(
+            model, tx, intervals, time_chunk=2048 if long_ctx else None
+        ),
+        donate_argnums=0,
+    )
     flops = _compiled_flops(step, state, batch)
     dt = _time_train_steps(step, state, lambda i: (batch,))
     tflops = (flops / dt / 1e12) if flops else None
@@ -639,6 +656,10 @@ def main():
     ap.add_argument("--hop_length", type=int, default=WIN,
                     help="a2sb only: hop 128 = the reference predict default "
                          "(overlapped MultiDiffusion, ~2x the UNet work)")
+    ap.add_argument("--seq_len", type=int, default=2048,
+                    help="ualm_train only: packed sequence length; 16384 = "
+                         "the reference's bucket-16000 training regime "
+                         "(differentiable flash + remat + chunked CE)")
     ap.add_argument("--window_shift", type=int, default=128,
                     help="a2sb only: per-step window-grid shift in frames. "
                          "The default headline runs shift 128 — overlap-"
@@ -648,13 +669,14 @@ def main():
     args = ap.parse_args()
     if args.model == "a2sb":
         result = bench_a2sb(args.hop_length, args.window_shift)
+    elif args.model == "ualm_train":
+        result = bench_ualm_train(args.seq_len)
     else:
         result = {
             "etta": bench_etta,
             "ualm": bench_ualm,
             "a2sb_train": bench_a2sb_train,
             "etta_train": bench_etta_train,
-            "ualm_train": bench_ualm_train,
             "ualm_16k": bench_ualm_16k,
         }[args.model]()
     print(json.dumps(result))

@@ -76,6 +76,64 @@ def test_flash_segmented_invalid_keys_and_cache_layout():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_segmented_grads_match_dense():
+    """The custom_vjp FlashAttention-2 backward reproduces dense-path
+    gradients (dq, dk, dv) for a packed causal batch — the reference
+    trains through differentiable flash-attn (etta_transformer.py:333-409),
+    so this is the capability that unlocks 16k-bucket training."""
+    rng = np.random.default_rng(3)
+    b, h, t, d = 2, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pos, seg = _packed_ids(rng, b, t, 200)
+    co = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_segmented(q, k, v, pos, pos, seg, seg) * co)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_reference(q, k, v, pos, pos, seg, seg) * co)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-4, err_msg=f"d{name}"
+        )
+
+
+def test_backbone_flash_training_grads():
+    """Regression for the round-3 crash: jax.grad through a flash-routed
+    backbone forward (flash_min_len below seq len) must work and match
+    the dense path — i.e. training at the reference's long buckets is
+    reachable (UALM conf/train.yaml:35-37)."""
+    from audio_intelligence_tpu.models.ualm.backbone import (
+        BackboneConfig,
+        QwenBackbone,
+    )
+
+    rng = np.random.default_rng(4)
+    t = 64
+    cfg_dense = BackboneConfig.tiny()
+    cfg_flash = BackboneConfig(**{**cfg_dense.__dict__, "flash_min_len": 8})
+    x = jnp.asarray(rng.standard_normal((2, t, cfg_dense.hidden_size)), jnp.float32)
+    pos = np.concatenate([np.arange(40), np.arange(t - 40)])[None].repeat(2, 0)
+    pos = jnp.asarray(pos, jnp.int32)
+    variables = QwenBackbone(cfg_dense).init(jax.random.PRNGKey(0), x, pos)
+
+    def loss(params, cfg):
+        out = QwenBackbone(cfg).apply(params, x, pos)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_dense = jax.grad(loss)(variables, cfg_dense)
+    g_flash = jax.grad(loss)(variables, cfg_flash)  # crashed before r4
+    flat_d, _ = jax.tree_util.tree_flatten(g_dense)
+    flat_f, _ = jax.tree_util.tree_flatten(g_flash)
+    for a, b_ in zip(flat_d, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
 def test_backbone_flash_path_matches_dense():
     """The backbone's flash routing (flash_min_len) reproduces the dense
     bias path — cache-free forward AND prefill-into-cache, with padding

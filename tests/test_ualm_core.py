@@ -285,3 +285,65 @@ def test_multistream_loss_matches_torch_reference():
     loss_t = loss_t * t_mask
     ref = float(loss_t.sum() / (t_mask[:, :, 0] != 0).double().sum())
     np.testing.assert_allclose(float(loss), ref, rtol=2e-3)
+
+
+def test_multistream_loss_time_chunked_matches_unchunked():
+    """time_chunk streams the CE over time blocks (the 16k-bucket memory
+    enabler) — value and gradients must match the unchunked path,
+    including a T that does not divide the chunk (padding leg)."""
+    cfg = BackboneConfig.tiny()
+    model = ParallelLM(cfg=cfg, vocab_size=64, num_stream=3)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 20, (2, 11, 3)).astype(np.int64)
+    ids[:, :, 1:] = rng.integers(30, 50, (2, 11, 2))
+    mask = (rng.random((2, 11, 3)) > 0.3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    intervals = [(30, 40), (40, 50)]
+
+    def loss_of(params, chunk):
+        v = {"params": params}
+        loss, _ = multistream_loss(
+            model, v, jnp.asarray(ids), jnp.asarray(mask), intervals,
+            time_chunk=chunk, compute_acc=True,
+        )
+        return loss
+
+    l_ref, g_ref = jax.value_and_grad(loss_of)(variables["params"], None)
+    l_chk, g_chk = jax.value_and_grad(loss_of)(variables["params"], 4)
+    np.testing.assert_allclose(float(l_chk), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_chk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # stats parity too (per-stream CE + acc)
+    _, s_ref = multistream_loss(
+        model, variables, jnp.asarray(ids), jnp.asarray(mask), intervals,
+        compute_acc=True,
+    )
+    _, s_chk = multistream_loss(
+        model, variables, jnp.asarray(ids), jnp.asarray(mask), intervals,
+        time_chunk=4, compute_acc=True,
+    )
+    for k in s_ref:
+        np.testing.assert_allclose(
+            float(s_chk[k]), float(s_ref[k]), rtol=1e-4, err_msg=k
+        )
+
+
+def test_backbone_remat_matches_plain():
+    """cfg.remat=True (per-layer activation checkpointing for the 16k
+    bucket) is numerics-neutral in both forward and gradient."""
+    cfg = BackboneConfig.tiny()
+    cfg_r = BackboneConfig(**{**cfg.__dict__, "remat": True})
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 12, cfg.hidden_size)), jnp.float32)
+    variables = QwenBackbone(cfg).init(jax.random.PRNGKey(0), x)
+
+    def loss(params, c):
+        out = QwenBackbone(c).apply(params, x)
+        return jnp.mean(out ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(variables, cfg)
+    l1, g1 = jax.value_and_grad(loss)(variables, cfg_r)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
