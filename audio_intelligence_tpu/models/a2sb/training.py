@@ -109,3 +109,70 @@ def make_train_step(
         return TrainState(new_params, new_opt_state, state.step + 1), metrics
 
     return train_step
+
+
+def make_validation_fn(
+    apply_fn,
+    schedule: BridgeSchedule,
+    val_batch: dict,
+    n_steps: int = 25,
+    t_start: float = 1.0,
+    t_end: float = 0.05,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    n_timestep_channels: int = 128,
+):
+    """Sampling validation — ``validation_step`` semantics
+    (A2SB/A2SB_lightning_module.py:433-476): run the 25-step bridge
+    sampler on a fixed validation batch, vocode prediction and ground
+    truth through the inverse transform chain (power ^4 → +DC →
+    mag/cos/sin → complex → iSTFT), and report LSD + SI-SDR (the
+    ssr_eval AudioMetrics equivalents, ops/metrics.py). The whole pass is
+    one jitted function of the params; returns ``valid_fn(state) → dict``
+    for ``train.loop.run_training``'s ``valid_fn`` hook.
+
+    ``val_batch``: {"x_0_clean", "x_0_corrupted", "loss_mask"} as produced
+    by the A2SB dataset ([B, H, W, 3] spectrograms, mask [B, H, W, 1]
+    with 1 = region to restore).
+    """
+    from audio_intelligence_tpu import ops
+    from audio_intelligence_tpu.models.a2sb.sampler import bridge_sample
+    from audio_intelligence_tpu.ops.metrics import log_spectral_distance, si_sdr
+
+    clean = jnp.asarray(val_batch["x_0_clean"])
+    corrupted = jnp.asarray(val_batch["x_0_corrupted"])
+    mask = jnp.broadcast_to(jnp.asarray(val_batch["loss_mask"]), clean.shape)
+
+    def vocode(msp_hwc):
+        # [H, W, 3] power-scaled mag/cos/sin without DC → wav [T]
+        m = jnp.moveaxis(msp_hwc, -1, 0)
+        m = ops.power_scale_spectrogram(m, power=4.0, channels=(0,))
+        m = ops.add_dc_term(m)
+        spec = ops.mag_inst_phase_to_complex(m)
+        return ops.istft(spec, n_fft=n_fft, hop_length=hop_length)
+
+    @jax.jit
+    def run(params, key):
+        def vf(x_t, t):
+            te = sinusoidal_temporal_embedding(
+                jnp.broadcast_to(t, (x_t.shape[0],)), n_timestep_channels
+            ).astype(x_t.dtype)
+            return apply_fn({"params": params}, x_t, te)
+
+        t_steps = jnp.linspace(t_start, t_end, n_steps + 1).astype(clean.dtype)
+        pred = bridge_sample(vf, schedule, key, corrupted, t_steps, mask=mask)
+        wav_pred = jax.vmap(vocode)(pred.astype(jnp.float32))
+        wav_ref = jax.vmap(vocode)(clean.astype(jnp.float32))
+        return {
+            "lsd": log_spectral_distance(
+                wav_pred, wav_ref, n_fft=n_fft, hop_length=hop_length
+            ),
+            "si_sdr": si_sdr(wav_pred, wav_ref),
+            "mse": jnp.mean((pred - clean) ** 2),
+        }
+
+    def valid_fn(state: TrainState):
+        key = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+        return {k: float(v) for k, v in run(state.params, key).items()}
+
+    return valid_fn

@@ -92,6 +92,10 @@ class QConv(nn.Module):
     # an optional ``residual`` call arg is added before the stats (the
     # ResBlock skip), see ops/pallas_conv.py
     with_stats: bool = False
+    # int8 only: lower the 3×3 conv as nine shifted GEMMs (exact same
+    # int32 math; faster than XLA's conv lowering at small-spatial /
+    # large-channel shapes — see ops/quant.py tap_gemm)
+    algo: str = "conv"
 
     @nn.compact
     def __call__(self, x, residual=None):
@@ -152,6 +156,7 @@ class QConv(nn.Module):
                 in_layout=self.in_layout, out_layout=self.out_layout,
                 w_q=None if q is None else q["w_q"],
                 s_w=None if q is None else q["s_w"],
+                algo=self.algo,
             )
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, (self.in_layout, "HWIO", self.out_layout)
@@ -404,10 +409,23 @@ class GroupNorm32(nn.Module):
         removes the dynamic-absmax pass over the full feature map that a
         data-dependent scale forces (ops/quant.py quant_conv2d), leaving
         one fused kernel that reads x in bf16 and writes int8 (¼ traffic).
+
+        ``x`` may itself be a :class:`QTensor` (the int8 residual stream,
+        ``AttnUNetF(residual_int8=True)``): the input scale folds into the
+        per-(batch, channel) normalize coefficients, so the pass reads
+        int8 — half the bytes of the bf16 stream.
         """
-        dtype = x.dtype
-        c = x.shape[-1]
-        b = x.shape[0]
+        from audio_intelligence_tpu.ops.quant import QTensor
+
+        is_q = isinstance(x, QTensor)
+        if is_q:
+            vals, s_in = x.q, x.scale
+            dtype = jnp.bfloat16
+        else:
+            vals, s_in = x, None
+            dtype = x.dtype
+        c = vals.shape[-1]
+        b = vals.shape[0]
         groups = min(self.num_groups, c)
         cg = c // groups
         scale = self.param("scale", nn.initializers.ones, (c,))
@@ -419,15 +437,18 @@ class GroupNorm32(nn.Module):
         # layout-converted copy of the whole map on the conv-chosen
         # {3,0,2,1} layouts (profiled at ~22 ms/step total, round 2).
         n_rows = 1
-        for d in x.shape[1:-1]:
+        for d in vals.shape[1:-1]:
             n_rows *= d
         if stats is not None:
             sums, sums_sq = stats
         else:
-            x32 = x.astype(jnp.float32)
-            spatial_axes = tuple(range(1, x.ndim - 1))
+            x32 = vals.astype(jnp.float32)
+            spatial_axes = tuple(range(1, vals.ndim - 1))
             sums = jnp.sum(x32, axis=spatial_axes)  # [B, C]
             sums_sq = jnp.sum(x32 * x32, axis=spatial_axes)
+            if is_q:
+                sums = sums * s_in
+                sums_sq = sums_sq * (s_in * s_in)
         n = n_rows * cg
         mean = sums.reshape(b, groups, cg).sum(-1) / n  # [B, groups]
         mean_sq = sums_sq.reshape(b, groups, cg).sum(-1) / n
@@ -437,12 +458,22 @@ class GroupNorm32(nn.Module):
         inv_c = jnp.repeat(inv, cg, axis=-1)  # [B, C]
         mean_c = jnp.repeat(mean, cg, axis=-1)
         scale32 = scale.astype(jnp.float32)[None, :]
-        eff_scale = (inv_c * scale32).astype(dtype)
+        eff_scale32 = inv_c * scale32
         eff_bias = (
-            bias.astype(jnp.float32)[None, :] - mean_c * inv_c * scale32
+            bias.astype(jnp.float32)[None, :] - mean_c * eff_scale32
         ).astype(dtype)
-        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
-        y = x * eff_scale.reshape(bshape) + eff_bias.reshape(bshape)
+        if is_q:
+            # fold the int8 stream's scale into the normalize coefficient:
+            # y = q·(s_in·eff_scale) + eff_bias — still one multiply-add,
+            # but the map read is int8
+            eff_scale = (eff_scale32 * s_in).astype(dtype)
+        else:
+            eff_scale = eff_scale32.astype(dtype)
+        bshape = (b,) + (1,) * (vals.ndim - 2) + (c,)
+        y = (
+            vals.astype(dtype) * eff_scale.reshape(bshape)
+            + eff_bias.reshape(bshape)
+        )
 
         if cond is not None:
             c_scale, c_shift = cond
@@ -510,11 +541,13 @@ class ResBlock(nn.Module):
     band_dim: int
     p_dropout: float = 0.1
     conv_impl: str = "bf16"
+    conv_algo: str = "conv"
 
     @nn.compact
     def __call__(self, x, t_emb, band_emb, deterministic: bool = True,
                  stats_in=None, stats_mode: bool = False,
-                 plain_out_conv: bool = False):
+                 plain_out_conv: bool = False, qres_mode: bool = False,
+                 emit_q_out: bool = False):
         # int8 + no dropout (inference): fuse GN→SiLU→quantize into one
         # pass with the analytic scale, feeding QTensors straight into the
         # convs (the restore bench path). Training/bf16 keeps the exact
@@ -526,12 +559,24 @@ class ResBlock(nn.Module):
         # first GroupNorm also skips its statistics read. The LAST block
         # before a non-elementwise consumer (down conv) sets
         # ``plain_out_conv`` to avoid a pallas/XLA layout seam.
+        #
+        # qres_mode (int8 only): the RESIDUAL STREAM carries int8 with a
+        # tracked per-tensor scale — x may be a QTensor, and the block
+        # returns ``(QTensor x_next, (Σ, Σ²) of x_next)``. The residual
+        # add reads int8 + bf16 and writes int8 (the bf16 stream's
+        # biggest bandwidth item on L0-L2, PERF.md round 3), its scale
+        # bound is ``amax(x) + amax(h)`` with both absmax reductions
+        # fused into the producing convs' epilogues (no extra passes),
+        # and the emitted stats let the NEXT GroupNorm skip its
+        # statistics read. Accuracy is gated in tests/test_quant.py
+        # (whole-UNet rel err vs bf16) and the e2e LSD gate.
         fused = self.conv_impl == "int8" and (
             deterministic or self.p_dropout == 0.0
         )
         in_norm = GroupNorm32()
         in_conv = QConv(self.channels, (3, 3), padding=1, impl=self.conv_impl,
-                        with_stats=stats_mode and fused, name="in_conv")
+                        with_stats=stats_mode and fused,
+                        algo=self.conv_algo, name="in_conv")
         ss = ScaleShiftEmbed(self.channels, self.band_dim, name="emb_proj")(
             t_emb, band_emb
         )
@@ -545,8 +590,41 @@ class ResBlock(nn.Module):
             bias_init=nn.initializers.zeros,
             impl=self.conv_impl,
             with_stats=stats_mode and fused and not plain_out_conv,
+            algo=self.conv_algo,
             name="out_conv",
         )
+        if fused and qres_mode:
+            from audio_intelligence_tpu.ops.quant import QTensor
+
+            h = in_conv(in_norm(x, silu_quant=True, stats=stats_in))
+            h_q = out_norm(h, cond=(scale, shift), silu_quant=True)
+            hp = out_conv(h_q)  # bf16 conv output (pre-residual)
+            # amax(h) fuses into out_conv's output fusion (the same
+            # multi-output pattern XLA uses for the GN stats); amax(x)
+            # comes from the carried scale — no map read
+            amax_h = jnp.max(jnp.abs(hp.astype(jnp.float32)))
+            if isinstance(x, QTensor):
+                amax_x = x.scale * 127.0
+                x32 = x.q.astype(jnp.float32) * x.scale
+            else:
+                amax_x = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                x32 = x.astype(jnp.float32)
+            bound = amax_x + amax_h  # ≥ max|x + h| (≤1 bit loose)
+            s_next = jnp.where(bound > 0, bound / 127.0, 1.0)
+            xn = x32 + hp.astype(jnp.float32)
+            q_next = jnp.clip(jnp.round(xn / s_next), -127, 127).astype(jnp.int8)
+            # the NEXT GroupNorm's statistics, taken over the QUANTIZED
+            # stream (exactly the values it will normalize — and the
+            # reduce reads int8, not a recomputed f32 x+h: asking for
+            # stats of xn here made XLA materialize standalone
+            # multiply_reduce passes re-reading both operands, ~10 ms/step)
+            q32 = q_next.astype(jnp.float32)
+            spatial = tuple(range(1, q32.ndim - 1))
+            st_out = (
+                jnp.sum(q32, axis=spatial) * s_next,
+                jnp.sum(q32 * q32, axis=spatial) * (s_next * s_next),
+            )
+            return QTensor(q_next, s_next), st_out
         if fused and stats_mode:
             h, st_h = in_conv(in_norm(x, silu_quant=True, stats=stats_in))
             h_q = out_norm(h, cond=(scale, shift), silu_quant=True, stats=st_h)
@@ -556,8 +634,23 @@ class ResBlock(nn.Module):
             return out, st_out
         if fused:
             h = in_conv(in_norm(x, silu_quant=True))
-            h = out_conv(out_norm(h, cond=(scale, shift), silu_quant=True))
-            return x + h
+            hp = out_conv(out_norm(h, cond=(scale, shift), silu_quant=True))
+            if emit_q_out:
+                # level-edge int8 emission: the residual add writes int8
+                # DIRECTLY for the consuming down/up conv, deleting that
+                # conv's separate absmax + quantize passes over the full
+                # map. Scale bound = amax(x) + amax(h) (≤1 bit loose);
+                # both absmax reductions fuse into the producing fusions.
+                from audio_intelligence_tpu.ops.quant import QTensor
+
+                amax_h = jnp.max(jnp.abs(hp.astype(jnp.float32)))
+                amax_x = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                bound = amax_x + amax_h
+                s = jnp.where(bound > 0, bound / 127.0, 1.0)
+                xn = x.astype(jnp.float32) + hp.astype(jnp.float32)
+                q = jnp.clip(jnp.round(xn / s), -127, 127).astype(jnp.int8)
+                return QTensor(q, s)
+            return x + hp
         h = in_conv(jax.nn.silu(in_norm(x)))
         h = out_norm(h, cond=(scale, shift))
         h = jax.nn.silu(h)
@@ -672,6 +765,26 @@ class AttnUNetF(nn.Module):
     # int8 only: ResBlock convs at attention-free levels run the pallas
     # stats-epilogue kernel so the GroupNorms skip their statistics reads
     stats_epilogue: bool = False
+    # int8 only: carry the residual stream as int8 with tracked scales at
+    # the attention-free levels (L0-L2, where the bf16 stream's
+    # bandwidth dominates the restore step — PERF.md round 3/4). The
+    # residual adds read int8+bf16, write int8, and emit the next
+    # GroupNorm's (Σ, Σ²); scale bounds fuse into the conv epilogues.
+    # Measured NET-NEGATIVE on v5e (+4 ms/step: the int8 elementwise
+    # passes go VPU-compute-bound on (4,1) pack/unpack) — kept opt-in as
+    # a documented negative result; see q_level_edges for the variant
+    # that pays.
+    residual_int8: bool = False
+    # int8 only: the LAST residual add of each attention-free level
+    # writes int8 directly (amax-bound scale fused into the producers),
+    # so the consuming down/up conv skips its separate absmax + quantize
+    # passes over the full map. GN reads stay bf16 (the part of
+    # residual_int8 that measured as a loss).
+    q_level_edges: bool = False
+    # int8 only: levels whose ResBlock 3×3 convs lower as nine shifted
+    # GEMMs instead of XLA's conv (exact same int32 math; 1.48× at the
+    # level-4 small-spatial/large-channel shape — ops/quant.py tap_gemm)
+    tap_gemm_levels: Sequence[int] = ()
 
     def _level_band_emb(self, n_bands, dtype):
         if self.band_embedding_dim == 0:
@@ -691,8 +804,16 @@ class AttnUNetF(nn.Module):
         attn = set(self.attention_levels)
         dec_attn = {n - 1 - a for a in attn}
 
-        def block_stack(h, ch, use_attn, name):
-            band = self._level_band_emb(h.shape[1], h.dtype)
+        fused_inf = self.conv_impl == "int8" and (
+            deterministic or self.p_dropout == 0.0
+        )
+
+        def block_stack(h, ch, use_attn, name, tap_gemm=False):
+            """Returns h — an array, or a QTensor on the qres chain (its
+            consumers QConv/UpsampleConv2x take QTensors directly)."""
+            band_src = h.q if hasattr(h, "q") else h
+            band = self._level_band_emb(band_src.shape[1], jnp.bfloat16
+                                        if hasattr(h, "q") else h.dtype)
             # stats-epilogue chain: within an attention-free level the
             # ResBlock convs emit the next GroupNorm's (Σ, Σ²) from their
             # pallas epilogues, so no GN re-reads the map for statistics;
@@ -703,13 +824,33 @@ class AttnUNetF(nn.Module):
                 and self.conv_impl == "int8"
                 and not use_attn
             )
+            # int8 residual stream: attention-free levels only (the
+            # attention blocks' q/k/v projections and gnorm read bf16)
+            qres_chain = (
+                self.residual_int8 and fused_inf and not use_attn
+                and not stats_chain
+            )
             stats = None
             for i in range(self.num_res_blocks):
                 rb = ResBlock(
                     ch, self.band_embedding_dim, self.p_dropout,
-                    conv_impl=self.conv_impl, name=f"{name}_res{i}"
+                    conv_impl=self.conv_impl,
+                    conv_algo="tap_gemm" if tap_gemm else "conv",
+                    name=f"{name}_res{i}"
                 )
-                if stats_chain:
+                edge_q = (
+                    self.q_level_edges and fused_inf and not use_attn
+                    and not qres_chain and not stats_chain
+                    and i == self.num_res_blocks - 1
+                )
+                if edge_q:
+                    h = rb(h, t_emb, band, deterministic, emit_q_out=True)
+                elif qres_chain:
+                    h, stats = rb(
+                        h, t_emb, band, deterministic, stats_in=stats,
+                        qres_mode=True,
+                    )
+                elif stats_chain:
                     h, stats = rb(
                         h, t_emb, band, deterministic, stats_in=stats,
                         stats_mode=True,
@@ -732,9 +873,11 @@ class AttnUNetF(nn.Module):
         h = QConv(hc[0], (3, 3), padding=1, impl=self.conv_impl,
                   in_layout=in_spec, name="input_projection")(x)
 
+        tap_set = set(self.tap_gemm_levels)
         skips = []
         for level in range(n):
-            h = block_stack(h, hc[level], level in attn, f"enc{level}")
+            h = block_stack(h, hc[level], level in attn, f"enc{level}",
+                            tap_gemm=level in tap_set)
             h = QConv(
                 hc[level + 1], (3, 3), strides=(2, 2), padding=1,
                 impl=self.conv_impl, name=f"down{level}"
@@ -763,7 +906,9 @@ class AttnUNetF(nn.Module):
         for level in range(n):
             h = h + skips.pop()
             ch = hc[n - level]
-            h = block_stack(h, ch, level in dec_attn, f"dec{level}")
+            # dec level L runs at enc level (n − L)'s shape/channels
+            h = block_stack(h, ch, level in dec_attn, f"dec{level}",
+                            tap_gemm=(n - level) in tap_set)
             # nearest ×2 upsample + conv (A2SB/networks.py:126-155),
             # computed as 4 phase convs on the LOW-RES map (sub-pixel
             # identity, see UpsampleConv2x: 4/9 the MACs, no upsampled

@@ -257,12 +257,18 @@ class QwenBackbone(nn.Module):
         cache: Optional[KVCache] = None,
         cache_positions=None,
         cache_segments=None,
+        q_segments=None,
     ):
+        """``q_segments`` overrides the position-derived segment ids —
+        needed for left-padded batched decoding, where a length-1 decode
+        step cannot recover its document id from its position alone."""
         cfg = self.cfg
         b, t, _ = embeds.shape
         if position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(t), (b, t))
-        q_segments = segment_ids_from_positions(position_ids)
+        explicit_q_segments = q_segments is not None
+        if q_segments is None:
+            q_segments = segment_ids_from_positions(position_ids)
 
         flash_info = None
         use_flash = t >= cfg.flash_min_len
@@ -285,7 +291,8 @@ class QwenBackbone(nn.Module):
             if cache_segments is None:
                 # single-document decode: everything is one segment
                 kv_seg = jnp.zeros((b, max_len), jnp.int32)
-                q_segments = jnp.zeros_like(q_segments)
+                if not explicit_q_segments:
+                    q_segments = jnp.zeros_like(q_segments)
             else:
                 kv_seg = cache_segments
             if use_flash:

@@ -85,6 +85,7 @@ def generate_segment(
     temperature: float = 0.8,
     max_cache_len: int | None = None,
     stream_intervals: Sequence[Tuple[int, int]] | None = None,
+    prompt_lengths: jax.Array | None = None,
 ):
     """Generate up to max_steps multi-stream frames after the prompt.
 
@@ -99,6 +100,14 @@ def generate_segment(
     offset the sampled index back. Exact when the restriction IS the
     interval (the inference.yaml audio-generation case); ``logit_mask``
     still applies within the interval (sliced per stream).
+
+    ``prompt_lengths`` [B] (optional): per-row valid prompt length for
+    LEFT-padded batches — the sharded batch-inference driver
+    (models/ualm/eval.py) packs differently-sized test samples into one
+    device batch. Pad slots carry cache segment −1 / query segment 0, so
+    real tokens never attend to padding (the reference instead shards
+    whole samples across mp.spawn workers, scripts/inference.py:156-304);
+    with equal lengths this is bit-identical to the unpadded path.
     """
     b, t, s = prompt_ids.shape
     cfg = cfg_scale != 1.0
@@ -111,6 +120,20 @@ def generate_segment(
     # just batched).
     nb = 2 * b if cfg else b
 
+    padded = prompt_lengths is not None
+    if padded:
+        pad_len = t - prompt_lengths.astype(jnp.int32)  # [B]
+        pad2 = jnp.concatenate([pad_len, pad_len], 0) if cfg else pad_len
+        slots = jnp.arange(max_cache_len)[None, :]
+        # cache layout: slots < pad are padding (segment −1, never
+        # visible); real tokens restart positions at 0 from slot pad
+        cache_pos = jnp.where(
+            slots < pad2[:, None], slots, slots - pad2[:, None]
+        )
+        cache_seg = jnp.where(slots < pad2[:, None], -1, 0).astype(jnp.int32)
+    else:
+        cache_pos = cache_seg = None
+
     def prefill(ids):
         embeds = model.apply(variables, ids, method=ParallelLM.embed)
         if cfg:
@@ -120,13 +143,23 @@ def generate_segment(
         cache = KVCache.init(
             model.cfg, nb, max_cache_len, dtype=embeds.dtype
         )
-        pos = jnp.broadcast_to(jnp.arange(t), (nb, t))
+        if padded:
+            idx = jnp.arange(t)[None, :]
+            pos = jnp.where(idx < pad2[:, None], idx, idx - pad2[:, None])
+            q_seg = jnp.where(idx < pad2[:, None], -1, 0).astype(jnp.int32)
+            q_seg = jnp.broadcast_to(q_seg, (nb, t))
+        else:
+            pos = jnp.broadcast_to(jnp.arange(t), (nb, t))
+            q_seg = None
         hidden, cache = model.apply(
             variables,
             embeds,
             pos,
             cache,
-            method=lambda m, e, p, c: m.backbone(e, p, c),
+            method=lambda m, e, p, c: m.backbone(
+                e, p, c, cache_positions=cache_pos, cache_segments=cache_seg,
+                q_segments=q_seg,
+            ),
         )
         stream_hidden = model.apply(
             variables, hidden[:, -1:], method=ParallelLM.hidden_streams
@@ -191,7 +224,12 @@ def generate_segment(
         ids = tokens[:, None, :]  # [B, 1, S]
         if cfg:
             ids = jnp.concatenate([ids, ids], axis=0)  # both branches see it
-        pos = jnp.broadcast_to(cache.index[None, None], (nb, 1))
+        if padded:
+            pos = (cache.index - pad2)[:, None]
+            q_seg = jnp.zeros((nb, 1), jnp.int32)
+        else:
+            pos = jnp.broadcast_to(cache.index[None, None], (nb, 1))
+            q_seg = None
 
         embeds = model.apply(variables, ids, method=ParallelLM.embed)
         hidden, cache = model.apply(
@@ -199,7 +237,10 @@ def generate_segment(
             embeds,
             pos,
             cache,
-            method=lambda m, e, p, c: m.backbone(e, p, c),
+            method=lambda m, e, p, c: m.backbone(
+                e, p, c, cache_positions=cache_pos, cache_segments=cache_seg,
+                q_segments=q_seg,
+            ),
         )
         sh = model.apply(variables, hidden, method=ParallelLM.hidden_streams)
         return (sh, cache, new_done), (tokens, new_done)

@@ -45,6 +45,7 @@ def main(argv=None):
         TrainState,
         make_optimizer,
         make_train_step,
+        make_validation_fn,
     )
     from audio_intelligence_tpu.models.a2sb.unet import (
         AttnUNetF,
@@ -70,7 +71,7 @@ def main(argv=None):
             num_res_blocks=1, rotary_dim=4,
         )
         lr, beta_max, seg, batch_size = 1e-3, 1.0, 4096, 2
-        mix_cfg, max_steps, save_every = None, args.max_steps or 5, 100
+        mix_cfg, max_steps, save_every = None, args.max_steps or 5, 5
     else:
         p.error("need --config or --smoke")
 
@@ -113,6 +114,11 @@ def main(argv=None):
         batch_iter = batches()
         sample = next(batch_iter)
         h, w = sample["x_0_clean"].shape[1:3]
+        # sampling validation (validation_step semantics,
+        # A2SB_lightning_module.py:433-476): hold one batch out as the
+        # fixed val set — the 25-step sampler + LSD/SI-SDR run on it at
+        # every checkpoint interval
+        val_batch = sample
     else:  # smoke: synthetic spectrogram batches
         rng = np.random.default_rng(0)
         h, w = 16, 8
@@ -127,6 +133,7 @@ def main(argv=None):
                 }
 
         batch_iter = batches()
+        val_batch = next(batch_iter)
 
     x0 = jnp.zeros((1, h, w, 3))
     t_emb = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128)
@@ -139,11 +146,18 @@ def main(argv=None):
         key_holder["key"], sub = jax.random.split(key_holder["key"])
         return step_fn(state, sub, {k: jnp.asarray(v) for k, v in batch.items()})
 
+    valid_fn = make_validation_fn(
+        model.apply, sched, val_batch,
+        n_steps=5 if args.smoke else 25,
+    )
+
     loop_cfg = TrainLoopConfig(
         max_steps=max_steps, save_interval=save_every, log_interval=1 if args.smoke else 50,
         ckpt_dir=args.ckpt_dir, ckpt_keep=None,
     )
-    state, step = run_training(state, wrapped_step, batch_iter, loop_cfg)
+    state, step = run_training(
+        state, wrapped_step, batch_iter, loop_cfg, valid_fn=valid_fn
+    )
     print(f"finished at step {step}")
 
 

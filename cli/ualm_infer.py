@@ -3,8 +3,14 @@
 
 Reads a JSONL test set ({"task", "text1"|"audio1", ...} rows), runs
 understanding (text out) or generation (audio out) per sample, writes
-wavs + results.json. Single-chip here; the GSPMD mesh path shards the
-batch across devices instead of the reference's mp.spawn worker shards.
+wavs + results.json.
+
+``--sharded`` runs the dataset-scale driver (models/ualm/eval.py): the
+test set splits ``samples[process_index::process_count]`` across hosts
+(the reference's mp.spawn worker sharding, scripts/inference.py:156-304)
+and, within a host, batches of left-padded prompts decode with the batch
+dimension sharded over the device mesh's ``data`` axis; per-process
+result shards aggregate into ``results.json``.
 """
 
 from __future__ import annotations
@@ -33,6 +39,10 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--cfg", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true",
+                   help="data-sharded batch inference over all devices "
+                        "(+ host sharding under multi-process JAX)")
+    p.add_argument("--per_device", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -112,10 +122,54 @@ def main(argv=None):
         restricted_logit_mask(len(vocab), intervals["discrete_audio"], eos_ids=(eos,))
     )
 
-    results = []
+    samples = [json.loads(line) for line in open(args.test_jsonl)]
     key = jax.random.PRNGKey(args.seed)
-    for i, line in enumerate(open(args.test_jsonl)):
-        sample = json.loads(line)
+
+    def write_audio(i, task, toks, n_valid):
+        codes = toks[None, :n_valid]
+        if codes.shape[1] > dio.n_streams:
+            wav, _, sr = dio.decode_batch(jnp.asarray(codes))
+            wav_path = str(out_dir / f"gen_{i:04d}.wav")
+            write_wav(wav_path, sr, np.asarray(wav)[0])
+            print(f"[{i}] wrote {wav_path}")
+            return {"id": i, "task": task, "audio": wav_path}
+        return {"id": i, "task": task, "audio": None}
+
+    if args.sharded:
+        from jax.sharding import Mesh
+
+        from audio_intelligence_tpu.models.ualm.eval import (
+            shard_for_process,
+            sharded_batch_inference,
+            write_results_shard,
+        )
+
+        mine = shard_for_process(list(enumerate(samples)))
+        prompts, metas = [], []
+        for i, sample in mine:
+            task = sample.get("task", "caption_to_audio")
+            seq, _ = pre.build_inference_prompt(task, sample)
+            prompts.append(np.asarray(seq))
+            metas.append((i, task))
+        devs = np.asarray(jax.devices())
+        mesh = Mesh(devs.reshape(devs.size), ("data",))
+        outs = sharded_batch_inference(
+            model, variables, prompts, args.max_steps, audio_mask, eos,
+            key, mesh=mesh, per_device=args.per_device,
+            cfg_scale=args.cfg, top_k=args.top_k,
+            temperature=args.temperature,
+            stream_intervals=intervals["discrete_audio"],
+        )
+        results = [
+            write_audio(i, task, toks, n_valid or toks.shape[0])
+            for (i, task), (toks, n_valid) in zip(metas, outs)
+        ]
+        shard = write_results_shard(out_dir, results)
+        print(f"wrote {shard} (+ merged results.json on process 0)")
+        return
+
+    results = []
+    for i, sample in enumerate(samples):
         task = sample.get("task", "caption_to_audio")
         seq, _ = pre.build_inference_prompt(task, sample)
         prompt = jnp.asarray(seq[None, :, :], jnp.int32)
@@ -131,15 +185,7 @@ def main(argv=None):
         )
         toks = np.asarray(tokens[0])
         n_valid = int(np.argmax(np.asarray(done[0]))) or toks.shape[0]
-        codes = toks[None, :n_valid]
-        if codes.shape[1] > dio.n_streams:
-            wav, _, sr = dio.decode_batch(jnp.asarray(codes))
-            wav_path = str(out_dir / f"gen_{i:04d}.wav")
-            write_wav(wav_path, sr, np.asarray(wav)[0])
-            results.append({"id": i, "task": task, "audio": wav_path})
-            print(f"[{i}] wrote {wav_path}")
-        else:
-            results.append({"id": i, "task": task, "audio": None})
+        results.append(write_audio(i, task, toks, n_valid))
 
     (out_dir / "results.json").write_text(json.dumps(results, indent=1))
     print(f"wrote {out_dir}/results.json")

@@ -63,3 +63,21 @@ def test_run_training_resume(tmp_path):
     # resume: loop restarts from step 4 (last save) and runs 1 more step
     final2, step2 = run_training(state, train_step, iter(batches), cfg)
     assert step2 == 5
+
+
+def test_a2sb_train_smoke_runs_sampling_validation(tmp_path, capsys):
+    """The train CLI wires a 25-step sampling validation
+    (validation_step semantics, A2SB_lightning_module.py:433-476): at
+    each checkpoint interval the val batch is restored with the bridge
+    sampler and LSD / SI-SDR are logged."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "cli"))
+    from cli.a2sb_train import main as train_main
+
+    train_main(["--smoke", "--max_steps", "5",
+                "--ckpt_dir", str(tmp_path / "ckpt")])
+    out = capsys.readouterr().out
+    assert "val/lsd=" in out, out
+    assert "val/si_sdr=" in out, out

@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--shift", type=int, default=0)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--qres", action="store_true",
+                   help="residual_int8: int8 residual stream at L0-L2")
     args = p.parse_args(argv)
 
     import bench as B
@@ -53,6 +55,7 @@ def main(argv=None):
         conv_impl="int8",
         use_flash=True,
         io_layout="nchw",
+        residual_int8=args.qres,
     )
     sched = BridgeSchedule(beta_max=1.0)
     rng = np.random.default_rng(0)
