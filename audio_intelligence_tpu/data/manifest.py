@@ -522,3 +522,198 @@ def convert_text_jsonl_to_ualm(
         "stats": stats_path,
         "num_samples": len(samples),
     }
+
+
+# ---------------------------------------------------------------------------
+# multi-audio entries, statistics, and audio normalization
+# (create_manifest.py _process_multi_audio_entry:691-770,
+#  ManifestStatistics:1041-1130, AudioConverter:399-553)
+# ---------------------------------------------------------------------------
+
+
+def expand_multi_audio_entries(entries: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Normalize multi-audio entries (the reference's
+    ``_process_multi_audio_entry``): an entry whose ``location`` is a list,
+    or that carries an ``audios`` list of {location, start?, duration?},
+    becomes one logical entry with ``_audios`` (ordered clip specs) plus a
+    synthetic per-clip id ``{id}__a{i}``. Single-audio entries pass
+    through unchanged."""
+    out: List[Dict[str, Any]] = []
+    for e in entries:
+        loc = e.get("location")
+        audios = e.get("audios")
+        if audios is None and isinstance(loc, (list, tuple)):
+            audios = [{"location": l} for l in loc]
+        if audios is None:
+            out.append(e)
+            continue
+        base = e.get("id") or (
+            Path(str(audios[0].get("location", "x"))).stem if audios else "x"
+        )
+        specs = []
+        for i, a in enumerate(audios):
+            specs.append(
+                {
+                    "id": f"{base}__a{i}",
+                    "location": a.get("location"),
+                    "start": a.get("start", 0.0),
+                    "duration": a.get("duration"),
+                }
+            )
+        norm = {k: v for k, v in e.items() if k not in ("audios", "location")}
+        norm["id"] = base
+        norm["_audios"] = specs
+        out.append(norm)
+    return out
+
+
+def create_multi_audio_manifest(
+    entries: List[Dict[str, Any]],
+    out_dir: str,
+    prefix: str = "shard",
+    shard_size: int = 512,
+    num_workers: int = 0,
+    resume: bool = False,
+    audio_source_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Multi-audio variant of ``create_manifest_pipeline``: every clip of
+    every entry lands in the tar shards, and each manifest row carries an
+    ``audio`` LIST (ManifestEntry.get_audio_list:186-191) so dialogue-
+    style datasets with several clips per example round-trip."""
+    expanded = expand_multi_audio_entries(entries)
+    flat: List[Dict[str, Any]] = []
+    groups: List[Tuple[Dict[str, Any], List[str]]] = []
+    for e in expanded:
+        specs = e.get("_audios")
+        if specs is None:
+            flat.append(e)
+            groups.append((e, [e.get("id") or Path(str(e["location"])).stem]))
+            continue
+        ids = []
+        for s in specs:
+            flat.append(dict(s))
+            ids.append(s["id"])
+        groups.append((e, ids))
+
+    summary = create_manifest_pipeline(
+        flat, out_dir, prefix=prefix, shard_size=shard_size,
+        num_workers=num_workers, resume=resume,
+        audio_source_dir=audio_source_dir,
+    )
+
+    # regroup the flat rows into multi-audio manifest rows
+    rows = {}
+    flat_manifest = os.path.join(out_dir, f"{prefix}.manifest.jsonl")
+    with open(flat_manifest) as f:
+        for line in f:
+            if line.strip():
+                r = json.loads(line)
+                rows[r["id"]] = r
+    multi_path = os.path.join(out_dir, f"{prefix}.multi.manifest.jsonl")
+    n = 0
+    with open(multi_path, "w", encoding="utf-8") as mf:
+        for e, ids in groups:
+            audio_list = [rows[i]["audio"] for i in ids if i in rows]
+            if not audio_list:
+                continue
+            text = {
+                k: e[k] for k in ("caption", "conversations") if e.get(k) is not None
+            }
+            mf.write(
+                json.dumps(
+                    {"id": e.get("id") or ids[0], "audio": audio_list, "text": text},
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+            n += 1
+    summary["multi_manifest"] = os.path.basename(multi_path)
+    summary["num_multi_entries"] = n
+    return summary
+
+
+def manifest_statistics(manifest_path: str) -> Dict[str, Any]:
+    """Dataset statistics report over a manifest
+    (ManifestStatistics.calculate:1041-1130): entry/clip counts, total
+    and per-clip duration stats, sample-rate / channel / encoding
+    histograms, and text presence counts."""
+    durations: List[float] = []
+    sr_hist: Dict[int, int] = {}
+    ch_hist: Dict[int, int] = {}
+    enc_hist: Dict[str, int] = {}
+    n_entries = n_clips = n_caption = n_conv = 0
+    with open(manifest_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            n_entries += 1
+            audios = r.get("audio")
+            if isinstance(audios, dict):
+                audios = [audios]
+            for a in audios or []:
+                n_clips += 1
+                if a.get("duration"):
+                    durations.append(float(a["duration"]))
+                if a.get("sample_rate"):
+                    sr_hist[int(a["sample_rate"])] = sr_hist.get(int(a["sample_rate"]), 0) + 1
+                if a.get("channels"):
+                    ch_hist[int(a["channels"])] = ch_hist.get(int(a["channels"]), 0) + 1
+                if a.get("encoding"):
+                    enc_hist[str(a["encoding"])] = enc_hist.get(str(a["encoding"]), 0) + 1
+            text = r.get("text") or {}
+            n_caption += int(text.get("caption") is not None)
+            n_conv += int(text.get("conversations") is not None)
+    return {
+        "num_entries": n_entries,
+        "num_clips": n_clips,
+        "total_duration_s": round(sum(durations), 3),
+        "duration_stats": _stats(durations),
+        "sample_rate_hist": sr_hist,
+        "channels_hist": ch_hist,
+        "encoding_hist": enc_hist,
+        "num_with_caption": n_caption,
+        "num_with_conversations": n_conv,
+    }
+
+
+def normalize_wav_batch(
+    paths: List[str],
+    out_dir: str,
+    target_sr: int = 44100,
+    mono: bool = True,
+    num_workers: int = 0,
+) -> List[str]:
+    """Audio normalization pass (AudioConverter.convert_batch:420-497):
+    decode → optional downmix → polyphase resample → wav out. WAV/PCM in
+    this image (no ffmpeg/soundfile; compressed inputs raise with a clear
+    message — the reference shells out to ffmpeg there)."""
+    from audio_intelligence_tpu.data.audio_io import read_wav, write_wav
+    from audio_intelligence_tpu.data.native import resample as resample_poly
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def one(path: str) -> str:
+        if not path.lower().endswith(".wav"):
+            raise ValueError(
+                f"{path}: only PCM wav is decodable in-image "
+                "(the reference transcodes via ffmpeg/sox)"
+            )
+        wav, sr = read_wav(path)
+        import numpy as np
+
+        wav = np.atleast_2d(np.asarray(wav, dtype=np.float32))
+        if mono and wav.shape[0] > 1:
+            wav = wav.mean(axis=0, keepdims=True)
+        if sr != target_sr:
+            wav = resample_poly(wav, sr, target_sr)
+        out = os.path.join(out_dir, Path(path).stem + ".wav")
+        write_wav(out, target_sr, wav[0] if mono else wav)
+        return out
+
+    if num_workers and num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(num_workers) as ex:
+            return list(ex.map(one, paths))
+    return [one(p) for p in paths]

@@ -392,11 +392,14 @@ class GroupNorm32(nn.Module):
     k_sigma: float = 5.0
 
     @nn.compact
-    def __call__(self, x, cond=None, silu_quant: bool = False, stats=None):
+    def __call__(self, x, cond=None, silu_quant: bool = False, stats=None,
+                 quant_only: bool = False):
         """Normalize; optionally apply conditioning ``cond=(scale, shift)``
         (the ResBlock's scale-shift, broadcastable to x) and, with
         ``silu_quant=True``, fuse SiLU + int8 quantization into the same
-        elementwise pass and return a ``QTensor``.
+        elementwise pass and return a ``QTensor``. ``quant_only=True``
+        quantizes WITHOUT the SiLU (the attention input norm feeding int8
+        q/k/v projections) — same analytic scale bound, no activation.
 
         ``stats=(Σx, Σx²)`` ([B, C] fp32 each) skips the statistics
         reduction entirely — the producing conv's epilogue already
@@ -478,7 +481,7 @@ class GroupNorm32(nn.Module):
         if cond is not None:
             c_scale, c_shift = cond
             y = y * (1 + c_scale).astype(dtype) + c_shift.astype(dtype)
-        if not silu_quant:
+        if not (silu_quant or quant_only):
             return y
 
         from audio_intelligence_tpu.ops.quant import QTensor
@@ -498,7 +501,9 @@ class GroupNorm32(nn.Module):
         # silu's negative lobe bottoms out at −0.2785; amax 0 (zero γ, β)
         # still quantizes exactly because silu(0) = 0
         s_x = jnp.maximum(amax, 0.2785) / 127.0
-        act = jax.nn.silu(y.astype(jnp.float32))
+        act = y.astype(jnp.float32)
+        if not quant_only:
+            act = jax.nn.silu(act)
         q = jnp.clip(jnp.round(act / s_x), -127, 127).astype(jnp.int8)
         return QTensor(q, s_x)
 
@@ -679,13 +684,35 @@ class RotaryAttention2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        if self.use_input_norm:
-            x = GroupNorm32(name="gnorm")(x)
-        q = nn.Conv(c, (1, 1), name="q_proj")(x)
-        k = nn.Conv(c, (1, 1), name="k_proj")(x)
-        v = nn.Conv(c, (1, 1), name="v_proj")(x)
+        if self.qk_int8:
+            # int8 projections (2× MXU rate): the input norm quantizes in
+            # its own epilogue (analytic scale, no SiLU) so all three
+            # projections share one int8 input read. Error budget ~0.5%
+            # on top of the kernel's ~1% logit quantization (LSD-gated
+            # e2e). Parameter trees match nn.Conv, so checkpoints and the
+            # bf16 path interchange.
+            if self.use_input_norm:
+                x = GroupNorm32(name="gnorm")(x, quant_only=True)
+            proj = lambda name: QConv(
+                c, (1, 1), padding=0, impl="int8", name=name
+            )
+            q = proj("q_proj")(x)
+            k = proj("k_proj")(x)
+            v = proj("v_proj")(x)
+        else:
+            if self.use_input_norm:
+                x = GroupNorm32(name="gnorm")(x)
+            q = nn.Conv(c, (1, 1), name="q_proj")(x)
+            k = nn.Conv(c, (1, 1), name="k_proj")(x)
+            v = nn.Conv(c, (1, 1), name="v_proj")(x)
 
         head_dim = c // self.num_heads
+        # (A flat-map rotary via full-channel cos/sin masks feeding a
+        # channel-major-head kernel was tried in r4 and measured SLOWER
+        # (4.63× vs 4.78× headline) — Mosaic rejects head-sliced blocks
+        # (lane blocks must be 128-divisible; mid-dim vector reshapes are
+        # "unsupported shape cast"), so the transposes remain and the
+        # full-width rotary costs more than this per-head form.)
         # [B, H, W, heads, hd] — note the reference splits channels as
         # (heads, head_dim) in channel-major order.
         def split_heads(t):

@@ -368,6 +368,12 @@ class DiffusionTransformer(nn.Module):
     apply_norm_to_cond: bool = True
     qknorm: Optional[str] = None
     input_concat_dim: int = 0
+    # per-block activation rematerialization (the reference's
+    # checkpoint() helpers, ETTA models/transformer.py:29): the whole-
+    # model jax.checkpoint wrapper is NOT enough for larger train
+    # batches — its backward recomputation stores every block's
+    # intermediates at once; per-block remat bounds that at one block
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -417,8 +423,15 @@ class DiffusionTransformer(nn.Module):
             x = x.reshape(b, seq // self.patch_size, -1)
 
         h = nn.Conv(self.embed_dim, (1,), name="project_in")(x)
+        block_cls = ETTADiTBlock
+        if self.remat:
+            block_cls = nn.remat(
+                ETTADiTBlock,
+                policy=jax.checkpoint_policies.nothing_saveable,
+                static_argnums=(6,),  # deterministic
+            )
         for i in range(self.depth):
-            h = ETTADiTBlock(
+            h = block_cls(
                 d_model=self.embed_dim,
                 n_heads=self.num_heads,
                 xattn_heads=self.xattn_heads,

@@ -437,12 +437,13 @@ def bench_a2sb_train():
     }
 
 
-def bench_etta_train():
+def bench_etta_train(b: int = 8):
     """Flagship ETTA-DiT (depth 24, d 1536, 1.29 B params) rectified-flow
-    train step: batch 8, T=215 latents, logit-normal t, cfg-dropout 0.1,
-    EMA — bf16 params with bf16 adam moments (the fp32-moment flagship
-    state is FSDP-sharded in production; this is the documented single-
-    chip configuration), remat'd transformer."""
+    train step: T=215 latents, logit-normal t, cfg-dropout 0.1, EMA,
+    adafactor, PER-BLOCK remat (DiffusionTransformer(remat=True) — the
+    r3 whole-model checkpoint capped the chip at batch 2/12% MFU because
+    its backward recomputation holds every block's intermediates at
+    once; per-block remat bounds that at one block and unlocks batch 8)."""
     jax = _jax_setup()
     import jax.numpy as jnp
     import optax
@@ -454,11 +455,8 @@ def bench_etta_train():
     )
 
     dtype = jnp.bfloat16
-    dit = DiffusionTransformer()  # flagship defaults
-    # batch 2/chip: 1.29 B params + bf16 adam moments + remat'd
-    # activations fill a single v5e's 16 GB at batch 8 (the 8-GPU
-    # reference recipe shards the batch)
-    b, t_len, c_len = 2, 215, 128
+    dit = DiffusionTransformer(remat=True)  # flagship defaults + remat
+    t_len, c_len = 215, 128
 
     x0 = jnp.zeros((1, t_len, 64), dtype)
     shapes = jax.eval_shape(
@@ -485,20 +483,10 @@ def bench_etta_train():
         "cross_attn_mask": jnp.ones((b, c_len), bool),
         "global_cond": jnp.asarray(rng.standard_normal((b, 1536)), dtype),
     }
-    # remat over array-only args: deterministic=False must stay a Python
-    # static (flax Dropout branches on it), so the checkpoint wraps an
-    # inner fn with it already bound
-    inner = jax.checkpoint(
-        lambda v, xb, t, cond, m, g, k: dit.apply(
-            v, xb, t, cond, m, g, deterministic=False, rngs={"dropout": k}
-        )
-    )
-
-    def remat_apply(v, xb, t, cond, m, g, deterministic=True, rngs=None):
-        return inner(v, xb, t, cond, m, g, rngs["dropout"])
-
+    # remat happens PER BLOCK inside the module (dit remat=True); the
+    # train step applies the model directly
     step = jax.jit(
-        make_diffusion_train_step(remat_apply, tx),
+        make_diffusion_train_step(dit.apply, tx),
         donate_argnums=0,
     )
     flops = _compiled_flops(step, state, jax.random.PRNGKey(0), batch)

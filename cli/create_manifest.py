@@ -41,11 +41,22 @@ def main(argv=None):
                    help="base dir for relative locations in --jsonl entries")
     p.add_argument("--location_key", default="location")
     p.add_argument("--caption_key", default="text")
+    p.add_argument("--multi_audio", action="store_true",
+                   help="entries may carry an 'audios' list (or a list "
+                        "'location'); writes {prefix}.multi.manifest.jsonl "
+                        "with one audio dict per clip "
+                        "(_process_multi_audio_entry parity)")
+    p.add_argument("--normalize_sr", type=int, default=None,
+                   help="pre-pass: decode + downmix + polyphase-resample "
+                        "every wav to this rate before sharding "
+                        "(AudioConverter parity; wav-only in-image)")
     args = p.parse_args(argv)
 
     from audio_intelligence_tpu.data.manifest import (
         create_manifest_pipeline,
+        create_multi_audio_manifest,
         load_entries,
+        normalize_wav_batch,
     )
 
     if args.audio_dir:
@@ -71,7 +82,23 @@ def main(argv=None):
             else:
                 entries.append({"location": line})
 
-    summary = create_manifest_pipeline(
+    if args.normalize_sr:
+        norm_dir = str(Path(args.out_dir) / "normalized")
+        paths = [e["location"] for e in entries if e.get("location")]
+        outs = normalize_wav_batch(
+            paths, norm_dir, target_sr=args.normalize_sr,
+            num_workers=max(1, args.num_workers),
+        )
+        remap = dict(zip(paths, outs))
+        for e in entries:
+            if e.get("location") in remap:
+                e["location"] = remap[e["location"]]
+
+    pipeline = (
+        create_multi_audio_manifest if args.multi_audio
+        else create_manifest_pipeline
+    )
+    summary = pipeline(
         entries,
         args.out_dir,
         prefix=args.prefix,

@@ -15,10 +15,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--index", required=True, help=".sqlite or .index.jsonl path")
+    p.add_argument("--index", help=".sqlite or .index.jsonl path")
+    p.add_argument("--manifest", default=None,
+                   help="*.manifest.jsonl: print the full dataset statistics "
+                        "report (ManifestStatistics parity) instead")
     p.add_argument("--key", default=None)
     p.add_argument("--limit", type=int, default=10)
     args = p.parse_args(argv)
+
+    if args.manifest:
+        import json
+
+        from audio_intelligence_tpu.data.manifest import manifest_statistics
+
+        print(json.dumps(manifest_statistics(args.manifest), indent=2))
+        return
+    if not args.index:
+        p.error("need --index or --manifest")
 
     from audio_intelligence_tpu.data.tarshard import TarballMetadataReader
 

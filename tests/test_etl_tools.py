@@ -221,3 +221,80 @@ def test_length_estimation_units():
         (0.0, 3.0, 0), (3.0, 3.0, 1), (6.0, 1.0, 2)
     ]
     assert generate_segments(2.0, 0.0, 1.0) == []
+
+
+def test_multi_audio_manifest_and_statistics(etl_dirs, tmp_path):
+    """Multi-audio entries (create_manifest.py _process_multi_audio_entry
+    :691-770) + the dataset statistics report (ManifestStatistics:1041-
+    1130): entries whose audio is a LIST round-trip into multi.manifest
+    rows with one audio dict per clip."""
+    from audio_intelligence_tpu.data.manifest import (
+        create_multi_audio_manifest,
+        manifest_statistics,
+    )
+
+    root, _jsonl, _durs, pcm = etl_dirs
+    wavs = root / "wavs"
+    entries = [
+        {
+            "id": "dlg0",
+            "audios": [
+                {"location": str(wavs / "a.wav")},
+                {"location": str(wavs / "b.wav"), "start": 0.2, "duration": 0.5},
+            ],
+            "conversations": [
+                {"role": "user", "content": "what changed?"},
+                {"role": "assistant", "content": "the second clip"},
+            ],
+        },
+        {"id": "solo", "location": str(wavs / "c.wav"), "caption": "one clip"},
+    ]
+    out = tmp_path / "multi"
+    summary = create_multi_audio_manifest(entries, str(out), prefix="m")
+    assert summary["num_multi_entries"] == 2
+
+    import json as _json
+
+    rows = [
+        _json.loads(l)
+        for l in (out / "m.multi.manifest.jsonl").read_text().splitlines()
+        if l.strip()
+    ]
+    by_id = {r["id"]: r for r in rows}
+    assert len(by_id["dlg0"]["audio"]) == 2
+    assert by_id["dlg0"]["audio"][1]["offset"] == 0.2
+    assert by_id["dlg0"]["audio"][1]["duration"] == 0.5
+    assert len(by_id["solo"]["audio"]) == 1
+    assert by_id["solo"]["text"]["caption"] == "one clip"
+
+    stats = manifest_statistics(str(out / "m.multi.manifest.jsonl"))
+    assert stats["num_entries"] == 2
+    assert stats["num_clips"] == 3
+    assert stats["num_with_conversations"] == 1
+    assert stats["num_with_caption"] == 1
+    assert 16000 in stats["sample_rate_hist"]
+
+
+def test_normalize_wav_batch(etl_dirs, tmp_path):
+    """AudioConverter parity (convert_batch:420-497): decode → mono →
+    polyphase resample → wav, and a clear error for compressed inputs."""
+    import numpy as np
+    import pytest as _pytest
+
+    from audio_intelligence_tpu.data.audio_io import read_wav
+    from audio_intelligence_tpu.data.manifest import normalize_wav_batch
+
+    root, _jsonl, _durs, pcm = etl_dirs
+    wavs = root / "wavs"
+    outs = normalize_wav_batch(
+        [str(wavs / "a.wav"), str(wavs / "b.wav")],
+        str(tmp_path / "norm"), target_sr=8000, num_workers=2,
+    )
+    assert len(outs) == 2
+    wav, sr = read_wav(outs[0])
+    assert sr == 8000
+    ref = pcm["a"]
+    assert abs(np.asarray(wav).shape[-1] - ref.shape[-1] // 2) <= 4
+
+    with _pytest.raises(ValueError, match="wav"):
+        normalize_wav_batch([str(tmp_path / "x.mp3")], str(tmp_path / "norm"))

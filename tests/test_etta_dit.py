@@ -290,3 +290,33 @@ def test_tokenizer_lut_conditioner():
     assert emb.shape == (2, 8, 16)
     # padded positions zeroed
     assert np.abs(np.asarray(emb[0, 2:])).max() == 0
+
+
+def test_dit_remat_matches_plain():
+    """DiffusionTransformer(remat=True) — per-block activation
+    checkpointing for larger single-chip train batches — is numerics-
+    neutral in forward and gradient."""
+    import numpy as np
+
+    kwargs = dict(
+        io_channels=4, embed_dim=32, depth=2, num_heads=4,
+        cond_token_dim=16, global_cond_dim=32, xattn_heads=4,
+        xattn_d_memory=16,
+    )
+    d0 = DiffusionTransformer(**kwargs)
+    d1 = DiffusionTransformer(**kwargs, remat=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 4)), jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 32)), jnp.float32)
+    params = d0.init(jax.random.PRNGKey(0), x, t, cond, None, g)
+
+    def loss(p, m):
+        return jnp.mean(m.apply(p, x, t, cond, None, g) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, d0)
+    l1, g1 = jax.value_and_grad(loss)(params, d1)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
