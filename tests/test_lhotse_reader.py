@@ -139,3 +139,63 @@ def test_single_dataset_lhotse_entry(manifest_dir):
     assert len(ds) == 2
     audio, sr = ds["rec1"]["audio"]
     assert sr == 16000 and audio.shape == (1, 2400)
+
+
+def test_prepare_audio_lhotse_roundtrip(tmp_path):
+    """The writer side of the lhotse contract
+    (UALM/scripts/prepare_audio_lhotse.py parity): Kaldi wav.scp +
+    segments → cuts/recordings.jsonl.gz that LhotseAudioReader loads,
+    with correct slicing."""
+    import json
+    import sys
+    import wave
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from cli.prepare_audio_lhotse import prepare_audio_lhotse
+    from audio_intelligence_tpu.data.lhotse_reader import LhotseAudioReader
+
+    sr = 8000
+    wavs = tmp_path / "wavs"
+    wavs.mkdir()
+    rng = np.random.default_rng(0)
+    pcm = {}
+    for name, secs in (("r1", 2.0), ("r2", 1.0)):
+        data = (rng.standard_normal(int(secs * sr)) * 3000).astype("<i2")
+        with wave.open(str(wavs / f"{name}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(data.tobytes())
+        pcm[name] = data.astype(np.float32) / 32768.0
+
+    scp = tmp_path / "wav.scp"
+    scp.write_text(
+        f"r1 {wavs / 'r1.wav'}\nr2 {wavs / 'r2.wav'}\n"
+    )
+    seg = tmp_path / "segments"
+    seg.write_text(
+        "r1_a r1 0.5 1.5\nr2_full r2 0.0 1.0\nbad r1 3.0 4.0\n"
+    )
+    out = tmp_path / "manifests"
+    stats = prepare_audio_lhotse(str(scp), str(seg), str(out), num_jobs=2)
+    assert stats["num_recordings"] == 2
+    assert stats["num_cuts"] == 2  # the out-of-bounds segment is skipped
+
+    reader = LhotseAudioReader(str(out))
+    audio, got_sr = reader["r1_a"]
+    assert got_sr == sr
+    assert audio.shape == (1, sr)  # 1.0 s slice
+    np.testing.assert_allclose(
+        audio[0], pcm["r1"][sr // 2 : sr // 2 + sr], atol=1e-4
+    )
+
+    # wav.scp only (no segments): whole-recording cuts
+    out2 = tmp_path / "manifests2"
+    stats2 = prepare_audio_lhotse(str(scp), None, str(out2), num_jobs=1)
+    assert stats2["num_cuts"] == 2
+    reader2 = LhotseAudioReader(str(out2))
+    a2, _ = reader2["r2"]
+    assert a2.shape == (1, sr)
