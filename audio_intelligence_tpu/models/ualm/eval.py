@@ -131,12 +131,21 @@ def write_results_shard(
     """Per-process results shard + aggregation (the reference's workers
     each write results, merged by the driver — scripts/inference.py
     main:307-375). Process 0 merges every present shard into
-    ``results.json``."""
+    ``results.json``.
+
+    In a real multi-host run the merge must not race slower hosts'
+    shard writes (the reference joins its mp.spawn workers before
+    aggregating — scripts/inference.py:361-370); a global device sync
+    after the shard write provides the same barrier here."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     rank = jax.process_index() if process_index is None else process_index
     shard = out_dir / f"results_shard_{rank}.json"
     shard.write_text(json.dumps(records, indent=1))
+    if process_index is None and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("ualm_eval_shards_written")
     if rank == 0:
         merged = []
         for f in sorted(out_dir.glob("results_shard_*.json")):

@@ -205,7 +205,11 @@ def _flash_seg_bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         sc = jnp.where(ok, sc, -1e30)
-        p = jnp.exp(sc - lse)
+        # a fully-masked (padding) query row has lse == -1e30 (the fwd
+        # absorbs log(1e-30)), so exp(sc - lse) would evaluate to 1
+        # across the row; zero masked probabilities explicitly so
+        # correctness does not depend on upstream grads being zero there.
+        p = jnp.where(ok, jnp.exp(sc - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -252,7 +256,9 @@ def _flash_seg_bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         sc = jnp.where(ok, sc, -1e30)
-        p = jnp.exp(sc - lse)  # [BLOCK_Q, BLOCK_K]
+        # see dq kernel: zero masked rows so padding rows with
+        # lse == -1e30 don't contribute spurious p == 1 terms to dk/dv.
+        p = jnp.where(ok, jnp.exp(sc - lse), 0.0)  # [BLOCK_Q, BLOCK_K]
         dv_s[:] += jax.lax.dot_general(
             p.astype(do_ref.dtype).astype(jnp.float32), do,
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,

@@ -109,6 +109,10 @@ def quant_conv2d(
         # shapes, so selection is per-level (AttnUNetF.tap_gemm_levels).
         assert in_layout == out_layout == "NHWC"
         assert strides == (1, 1) and kernel.shape[:2] == (3, 3)
+        # the shifted-slice accumulation below hardcodes pad=1 on both
+        # spatial axes; any other padding request must not be silently
+        # remapped to it.
+        assert padding in ("SAME", ((1, 1), (1, 1))), padding
         b, h, w, c = x_q.shape
         o = w_q.shape[-1]
         xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -160,8 +160,12 @@ def main(argv=None):
             temperature=args.temperature,
             stream_intervals=intervals["discrete_audio"],
         )
+        # n_valid comes through unchanged: eval.py already returns
+        # max_steps for never-done rows, and a genuine n_valid == 0
+        # (EOS at the first step) must stay 0 rather than decode the
+        # whole garbage token buffer.
         results = [
-            write_audio(i, task, toks, n_valid or toks.shape[0])
+            write_audio(i, task, toks, n_valid)
             for (i, task), (toks, n_valid) in zip(metas, outs)
         ]
         shard = write_results_shard(out_dir, results)
