@@ -241,6 +241,23 @@ class PhonemeConditioner(nn.Module):
         return emb, mask
 
 
+_CLAP_EMBEDDERS: dict = {}
+
+
+def _clap_embedder_cached(path: str):
+    """Load-once cache of flax ClapEmbedder instances per checkpoint dir
+    (the towers are frozen conditioners; reloading per call would reconvert
+    the weights)."""
+    if path not in _CLAP_EMBEDDERS:
+        try:
+            from audio_intelligence_tpu.models.etta.clap import ClapEmbedder
+
+            _CLAP_EMBEDDERS[path] = ClapEmbedder.from_hf_dir(path)
+        except Exception:
+            _CLAP_EMBEDDERS[path] = None
+    return _CLAP_EMBEDDERS[path]
+
+
 def clap_text_embed_host(
     texts: Sequence[str],
     clap_ckpt_path: str | None = None,
@@ -252,8 +269,22 @@ def clap_text_embed_host(
     laion_clap + its checkpoint are not in this image, so without them this
     degrades to a deterministic hash embedding pooled to one vector —
     keeping prompt-conditional pipelines runnable offline (same contract:
-    unit-scale [B, dim])."""
+    unit-scale [B, dim]).
+
+    With a checkpoint, the preferred path is the in-repo flax CLAP
+    (models/etta/clap.py, parity-gated vs transformers.ClapModel):
+    ``clap_ckpt_path`` pointing at an HF ClapModel directory runs the
+    converted flax towers; a laion_clap .pt checkpoint is tried next
+    (gated import)."""
     if clap_ckpt_path is not None:
+        from pathlib import Path
+
+        if Path(clap_ckpt_path).is_dir():
+            from audio_intelligence_tpu.models.etta.clap import ClapEmbedder
+
+            emb = _clap_embedder_cached(clap_ckpt_path)
+            if emb is not None and emb.tokenizer is not None:
+                return emb.embed_text(list(texts))
         try:
             import laion_clap  # gated: not in image
 
@@ -277,8 +308,17 @@ def clap_audio_embed_host(
     audio: [B, T] mono float32. Without laion_clap, falls back to a
     deterministic log-mel statistics embedding (mean‖std of 64 mel bands,
     projected to ``dim`` by a fixed seeded projection) — offline stand-in
-    with the same [B, dim] unit-norm contract."""
+    with the same [B, dim] unit-norm contract.
+
+    With an HF ClapModel checkpoint directory, runs the in-repo flax
+    towers (models/etta/clap.py) through the HF feature extractor."""
     if clap_ckpt_path is not None:
+        from pathlib import Path
+
+        if Path(clap_ckpt_path).is_dir():
+            emb = _clap_embedder_cached(clap_ckpt_path)
+            if emb is not None and emb.feature_extractor is not None:
+                return emb.embed_audio(audio, sample_rate)
         try:
             import laion_clap  # gated: not in image
 
