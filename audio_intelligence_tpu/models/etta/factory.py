@@ -297,9 +297,63 @@ def create_training_wrapper_from_config(
             gp, dp, gp, gen_tx.init(gp), disc_tx.init(dp),
             jnp.zeros((), jnp.int32),
         )
+        # reference trainer modes (training/factory.py:25-61 →
+        # autoencoders.py): encoder freeze / freeze-on-warmup, latent
+        # masking, teacher distillation, recon-loss decay
+        loss_cfg = tr.get("loss_configs", {}) or {}
+        extra = dict(
+            encoder_freeze=tr.get("encoder_freeze", False),
+            encoder_freeze_on_warmup=tr.get("encoder_freeze_on_warmup", False),
+            warmup_steps=tr.get("warmup_steps", 0),
+            latent_mask_ratio=tr.get("latent_mask_ratio", 0.0),
+            recon_loss_decays_to_zero_after=loss_cfg.get(
+                "recon_loss_decays_to_zero_after"
+            ),
+            recon_loss_decay_mode=loss_cfg.get(
+                "recon_loss_decay_mode", "linear"
+            ),
+        )
+        teacher_cfg = tr.get("teacher_model")
+        if teacher_cfg is not None:
+            teacher_ckpt = tr.get("teacher_model_ckpt")
+            if teacher_ckpt is None:
+                raise ValueError(
+                    "teacher_model_ckpt must be specified if teacher_model "
+                    "is specified"
+                )
+            t_ae = create_model_from_config(teacher_cfg)["autoencoder"]
+            from audio_intelligence_tpu.train.checkpoint import (
+                load_exported_weights,
+            )
+
+            t_tmpl = jax.eval_shape(
+                lambda: t_ae.init(
+                    jax.random.PRNGKey(0), reals0, jax.random.PRNGKey(1)
+                )["params"]
+            )
+            t_params = load_exported_weights(t_tmpl, teacher_ckpt)
+            extra["teacher_encode"] = lambda x, k: t_ae.apply(
+                {"params": t_params}, x, k, method=type(t_ae).encode
+            )
+            extra["teacher_decode"] = lambda z: t_ae.apply(
+                {"params": t_params}, z, method=type(t_ae).decode
+            )
+        needs_split = (
+            extra["encoder_freeze"]
+            or extra["encoder_freeze_on_warmup"]
+            or extra["latent_mask_ratio"] > 0.0
+            or teacher_cfg is not None
+        )
+        if needs_split:
+            extra["encode_apply"] = lambda v, x, k: ae.apply(
+                v, x, k, True, method=type(ae).encode
+            )
+            extra["decode_apply"] = lambda v, z: ae.apply(
+                v, z, method=type(ae).decode
+            )
         gen_step, disc_step = T.make_vae_train_steps(
             ae.apply, disc.apply, gen_tx, disc_tx, sample_rate=sr,
-            stereo=io_ch == 2, gan_type=gan_type,
+            stereo=io_ch == 2, gan_type=gan_type, **extra,
         )
         return {
             "gen_step": gen_step, "disc_step": disc_step, "state": state,

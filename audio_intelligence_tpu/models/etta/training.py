@@ -293,6 +293,20 @@ def make_vae_optimizers(
     return make(gen_lr), make(disc_lr)
 
 
+def recon_loss_decay_factor(step, decay_steps, mode: str = "linear"):
+    """Reconstruction-loss decay schedule (autoencoders.py:156-211):
+    ``linear`` ramps 1 → 0 over ``decay_steps``; ``exponential`` is
+    exp(−4.6·step/decay_steps) (−4.6 ≈ ln 0.01: 1% at the horizon).
+    ``step`` may be traced (the factor is computed inside the jitted
+    gen step from ``state.step``)."""
+    s = jnp.asarray(step, jnp.float32)
+    if mode == "linear":
+        return jnp.maximum(1.0 - s / decay_steps, 0.0)
+    if mode == "exponential":
+        return jnp.exp(-4.6 / decay_steps * s)
+    raise ValueError(f"unknown recon_loss_decay_mode {mode!r}")
+
+
 def make_vae_train_steps(
     ae_apply: Callable,
     disc_apply: Callable,
@@ -302,6 +316,16 @@ def make_vae_train_steps(
     loss_weights: dict | None = None,
     stereo: bool = True,
     gan_type: str = "hinge",
+    encode_apply: Callable | None = None,
+    decode_apply: Callable | None = None,
+    teacher_encode: Callable | None = None,
+    teacher_decode: Callable | None = None,
+    encoder_freeze: bool = False,
+    encoder_freeze_on_warmup: bool = False,
+    warmup_steps: int = 0,
+    latent_mask_ratio: float = 0.0,
+    recon_loss_decays_to_zero_after: int | None = None,
+    recon_loss_decay_mode: str = "linear",
 ):
     """Build (gen_step, disc_step) jitted functions.
 
@@ -312,10 +336,49 @@ def make_vae_train_steps(
     least-squares DACGANLoss, reference discriminators.py:508-556).
     Flagship weights: mrstft 1.0, adversarial 0.1, feature_matching 5.0,
     kl 1e-4 (etta_vae.json loss_configs).
+
+    Reference training modes (autoencoders.py):
+
+    - **Encoder freeze** (``encoder_freeze``, decoder-only finetuning,
+      autoencoders.py:64-69; ``encoder_freeze_on_warmup`` freezes once
+      ``step ≥ warmup_steps``, :255-258): the encode runs under
+      stop_gradient — the JAX equivalent of the reference's
+      requires_grad=False + torch.no_grad() encode.
+    - **Latent masking** (``latent_mask_ratio``, :271-274): each latent
+      element is independently zeroed with this probability before the
+      decode (noise-resistance training).
+    - **Teacher distillation** (``teacher_encode/teacher_decode``
+      closures over the frozen teacher's params, :117-126, :286-295):
+      replaces the plain recon loss with the reference's four
+      0.25·w_mrstft-weighted terms — (reals, decoded),
+      (decoded, teacher_decoded), (reals, teacher·decode(own latents)),
+      (reals, own·decode(teacher latents)). As in the reference, every
+      teacher-block decode happens under no-grad (:286-295): the last
+      two terms contribute loss value (logged) but no gradient.
+    - **Recon-loss decay** (``recon_loss_decays_to_zero_after`` +
+      ``recon_loss_decay_mode``, :156-211): the direct (reals, decoded)
+      spectral loss weight decays to zero on the given schedule
+      (adversarial/feature-matching/KL are unaffected).
+
+    The freeze/mask/distill modes require the split ``encode_apply``
+    ({'params': p}, x, rng) → (latents, info) and ``decode_apply``
+    ({'params': p}, z) → recon; without them the composite ``ae_apply``
+    fast path is used unchanged.
     """
     w = {"mrstft": 1.0, "adversarial": 0.1, "feature_matching": 5.0, "kl": 1e-4}
     if loss_weights:
         w.update(loss_weights)
+    needs_split = (
+        encoder_freeze
+        or encoder_freeze_on_warmup
+        or latent_mask_ratio > 0.0
+        or teacher_encode is not None
+    )
+    if needs_split and (encode_apply is None or decode_apply is None):
+        raise ValueError(
+            "encoder_freeze / latent_mask_ratio / teacher distillation "
+            "need encode_apply + decode_apply"
+        )
 
     def spectral(x, y):
         # stereo: A-weighted sum&difference + per-channel MR-STFT
@@ -347,34 +410,89 @@ def make_vae_train_steps(
         lf, ff = disc_apply({"params": disc_params}, recon)
         return encodec_gan_losses(lt, ft, lf, ff)
 
-    def gen_loss_fn(gen_params, disc_params, key, reals):
-        recon, info = ae_apply({"params": gen_params}, reals, key)
+    def forward(gen_params, key, reals, step):
+        """The generator forward — (decoded, info, latents or None).
+
+        Uses the split encode/decode path only when a mode needs it,
+        applying freeze → mask → decode in the reference's order
+        (autoencoders.py:255-276)."""
+        if not needs_split:
+            recon, info = ae_apply({"params": gen_params}, reals, key)
+            return recon, info, None
+        k_enc, k_mask, _ = jax.random.split(key, 3)
+        lat, info = encode_apply({"params": gen_params}, reals, k_enc)
+        # freeze = the reference's torch.no_grad() encode
+        # (autoencoders.py:255-258): the WHOLE encode output — latents AND
+        # the bottleneck info (the KL would otherwise still pull encoder
+        # gradients) — is cut from the graph
+        if encoder_freeze:
+            lat, info = jax.lax.stop_gradient((lat, info))
+        elif encoder_freeze_on_warmup:
+            frozen = step >= warmup_steps
+            lat, info = jax.tree.map(
+                lambda v: jnp.where(frozen, jax.lax.stop_gradient(v), v),
+                (lat, info),
+            )
+        if latent_mask_ratio > 0.0:
+            drop = (
+                jax.random.uniform(k_mask, lat.shape) < latent_mask_ratio
+            )
+            lat = jnp.where(drop, jnp.zeros_like(lat), lat)
+        recon = decode_apply({"params": gen_params}, lat)
+        return recon, info, lat
+
+    def gen_loss_fn(gen_params, disc_params, key, reals, step):
+        recon, info, lat = forward(gen_params, key, reals, step)
         _, adv, fm = critic_losses(disc_params, reals, recon)
-        mrstft = spectral(recon, reals)
+        recon_w = w["mrstft"]
+        if recon_loss_decays_to_zero_after is not None:
+            recon_w = recon_w * recon_loss_decay_factor(
+                step, recon_loss_decays_to_zero_after, recon_loss_decay_mode
+            )
         kl = info.get("kl", 0.0)
+        metrics = {"adv": adv, "fm": fm, "kl": kl}
+        if teacher_encode is not None:
+            # the reference's whole teacher block is no-grad
+            # (autoencoders.py:286-295): teacher outputs — including the
+            # own-decoder decode of teacher latents — are constants
+            k_teacher = jax.random.split(key, 3)[2]
+            t_lat = jax.lax.stop_gradient(teacher_encode(reals, k_teacher))
+            t_dec = jax.lax.stop_gradient(teacher_decode(t_lat))
+            own_lat_t_dec = jax.lax.stop_gradient(
+                teacher_decode(jax.lax.stop_gradient(lat))
+            )
+            t_lat_own_dec = jax.lax.stop_gradient(
+                decode_apply({"params": gen_params}, t_lat)
+            )
+            mrstft = spectral(recon, reals)
+            distill = (
+                spectral(recon, t_dec)
+                + spectral(own_lat_t_dec, reals)
+                + spectral(t_lat_own_dec, reals)
+            )
+            spec_loss = 0.25 * recon_w * mrstft + 0.25 * w["mrstft"] * distill
+            metrics["mrstft_distill"] = distill
+        else:
+            mrstft = spectral(recon, reals)
+            spec_loss = recon_w * mrstft
         loss = (
-            w["mrstft"] * mrstft
+            spec_loss
             + w["adversarial"] * adv
             + w["feature_matching"] * fm
             + w["kl"] * kl
         )
-        return loss, {
-            "loss": loss,
-            "mrstft": mrstft,
-            "adv": adv,
-            "fm": fm,
-            "kl": kl,
-        }
+        metrics.update({"loss": loss, "mrstft": mrstft})
+        return loss, metrics
 
-    def disc_loss_fn(disc_params, gen_params, key, reals):
-        recon, _ = ae_apply({"params": gen_params}, reals, key)
+    def disc_loss_fn(disc_params, gen_params, key, reals, step):
+        recon, _, _ = forward(gen_params, key, reals, step)
         recon = jax.lax.stop_gradient(recon)
         dis, _, _ = critic_losses(disc_params, reals, recon)
         return dis, {"loss_dis": dis}
 
     def gen_step(state: VAETrainState, key, reals):
         (loss, metrics), grads = jax.value_and_grad(gen_loss_fn, has_aux=True)(
-            state.gen_params, state.disc_params, key, reals
+            state.gen_params, state.disc_params, key, reals, state.step
         )
         updates, gen_opt = gen_tx.update(grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates)
@@ -389,7 +507,7 @@ def make_vae_train_steps(
 
     def disc_step(state: VAETrainState, key, reals):
         (loss, metrics), grads = jax.value_and_grad(disc_loss_fn, has_aux=True)(
-            state.disc_params, state.gen_params, key, reals
+            state.disc_params, state.gen_params, key, reals, state.step
         )
         updates, disc_opt = disc_tx.update(grads, state.disc_opt, state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, updates)

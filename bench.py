@@ -461,6 +461,98 @@ def _bench_a2sb_train_at(b: int):
     }
 
 
+def bench_a2sb_train_eb10(n_micro: int = 10):
+    """Flagship AttnUNetF train step at the reference's EFFECTIVE batch —
+    pretrain.yaml trains batch 10 per GPU (A2SB/configs/pretrain.yaml:91-94);
+    one v5e chip fits batch 1, so the step runs a 10-microbatch
+    gradient-accumulation ``lax.scan`` (train/common.py
+    accumulate_gradients) + ONE RAdam update. Reports ms per effective
+    step (10 forwards+backwards + the update)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import optax
+
+    from audio_intelligence_tpu.models.a2sb.bridge import BridgeSchedule
+    from audio_intelligence_tpu.models.a2sb.training import (
+        TrainState,
+        bridge_loss,
+        make_optimizer,
+    )
+    from audio_intelligence_tpu.models.a2sb.unet import (
+        AttnUNetF,
+        sinusoidal_temporal_embedding,
+    )
+    from audio_intelligence_tpu.train.common import accumulate_gradients
+
+    dtype = jnp.bfloat16
+    model = AttnUNetF(
+        n_updown_levels=5,
+        hidden_channels=(128, 256, 512, 768, 1024, 2048),
+        emb_channels=128,
+        band_embedding_dim=16,
+        attention_levels=(3, 4),
+        n_attn_heads=8,
+        num_res_blocks=2,
+    )
+    h, w = 1024, 256
+    sched = BridgeSchedule(beta_max=1.0)
+
+    x0 = jnp.zeros((1, h, w, 3), dtype)
+    te0 = sinusoidal_temporal_embedding(jnp.asarray([0.5]), 128).astype(dtype)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x0, te0))
+    params = _random_params(jax, shapes, dtype)["params"]
+    tx = make_optimizer()
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    rng = np.random.default_rng(0)
+    micros = {
+        "x_0_clean": jnp.asarray(
+            rng.standard_normal((n_micro, 1, h, w, 3)), dtype),
+        "x_0_corrupted": jnp.asarray(
+            rng.standard_normal((n_micro, 1, h, w, 3)), dtype),
+        "loss_mask": jnp.ones((n_micro, 1, h, w, 1), dtype),
+    }
+
+    inner = jax.checkpoint(
+        lambda v, xb, te, k: model.apply(
+            v, xb, te, deterministic=False, rngs={"dropout": k}
+        ),
+        policy=jax.checkpoint_policies.nothing_saveable,
+    )
+
+    def remat_apply(variables, xb, te, deterministic=True, rngs=None):
+        return inner(variables, xb, te, rngs["dropout"])
+
+    def loss_fn(params, micro):
+        return bridge_loss(
+            params, remat_apply, sched, micro["key"], micro["batch"]
+        )
+
+    def step(state: TrainState, key, micros):
+        keys = jax.random.split(key, n_micro)
+        tree = {"batch": micros, "key": keys}
+        loss, grads = accumulate_gradients(loss_fn, state.params, tree)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.step + 1),
+            {"loss": loss},
+        )
+
+    step = jax.jit(step, donate_argnums=0)
+    flops = _compiled_flops(step, state, jax.random.PRNGKey(0), micros)
+    dt = _time_train_steps(step, state, lambda i: (jax.random.PRNGKey(i), micros))
+    tflops = (flops / dt / 1e12) if flops else None
+    return {
+        "metric": f"a2sb_train_step_ms_eb{n_micro}",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "weights": "random_normal",
+        "vs_baseline": round((tflops or 0.0) * 1e12 / V5E_PEAK_BF16, 3),
+        "tflops": round(tflops, 1) if tflops else None,
+    }
+
+
 def bench_etta_train(b: int = 8):
     """Flagship ETTA-DiT (depth 24, d 1536, 1.29 B params) rectified-flow
     train step: T=215 latents, logit-normal t, cfg-dropout 0.1, EMA,
@@ -661,7 +753,8 @@ def main():
         "--model",
         choices=(
             "a2sb", "etta", "ualm",
-            "a2sb_train", "etta_train", "ualm_train", "ualm_16k",
+            "a2sb_train", "a2sb_train_eb10", "etta_train", "ualm_train",
+            "ualm_16k",
         ),
         default="a2sb",
     )
@@ -688,6 +781,7 @@ def main():
             "etta": bench_etta,
             "ualm": bench_ualm,
             "a2sb_train": bench_a2sb_train,
+            "a2sb_train_eb10": bench_a2sb_train_eb10,
             "etta_train": bench_etta_train,
             "ualm_16k": bench_ualm_16k,
         }[args.model]()

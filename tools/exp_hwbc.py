@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--c", type=int, default=128)
     ap.add_argument("--check", action="store_true",
                     help="CPU numerics check vs the nhwc variant")
+    ap.add_argument("--ht", type=int, default=4,
+                    help="pallas block height (H rows per grid step); "
+                         "8 exceeds the 16M scoped-vmem limit at "
+                         "W=256 B=8 C=128")
     args = ap.parse_args(argv)
 
     import bench as B
@@ -161,7 +165,7 @@ def main(argv=None):
             q = jnp.clip(jnp.round(act * inv_ref[0, 0]), -127, 127)
             o_ref[...] = q.astype(jnp.int8)
 
-        ht = 8
+        ht = args.ht
         if hwbc:
             grid = (H // ht,)
             xspec = pl.BlockSpec((ht, W, Bn, C), lambda i: (i, 0, 0, 0))
