@@ -443,11 +443,14 @@ def bridge_sample(
 
     def step(carry, xs):
         x_t, key = carry
-        (t, t_prev), off = xs
+        (t, t_prev), off, c = xs
         key, k_noise = jax.random.split(key)
 
         vf = eval_vf(x_t, t, off)
-        pred_x0 = schedule.pred_x0(t, x_t, vf)
+        # bridge coefficients come PRE-COMPUTED per step (see ts_pairs
+        # below): computing them inside the scan left ~36 scalar
+        # sqrt/pow kernels per step on the device — pure launch latency
+        pred_x0 = x_t - c[0] * vf  # schedule.pred_x0 semantics
         if mask is not None and mask_pred_x0:
             pred_x0 = pred_x0 * mask + (1.0 - mask) * x_1
 
@@ -459,14 +462,14 @@ def bridge_sample(
             None if ot_ode
             else jax.random.normal(k_noise, x_t.shape, x_t.dtype)
         )
-        x_prev = schedule.p_posterior(
-            k_noise, t_prev, t, x_t, pred_x0, ot_ode=ot_ode, noise=noise
-        )
+        # schedule.p_posterior semantics with precomputed (μ_x0, μ_xt, σ)
+        x_prev = c[1] * pred_x0 + c[2] * x_t
+        if not ot_ode:
+            x_prev = x_prev + c[3] * noise
         if mask is not None:
             xt_true = x_1
             if not ot_ode:
-                std_sb = schedule.std_t(t_prev)
-                xt_true = xt_true + std_sb * noise
+                xt_true = xt_true + c[4] * noise  # std_t(t_prev)
             x_prev = (1.0 - mask) * xt_true + mask * x_prev
         # pin the carry dtype (bf16 inputs must not drift to f32 mid-scan)
         carry = (x_prev.astype(x_1.dtype), key, pred_x0.astype(x_1.dtype))
@@ -474,6 +477,21 @@ def bridge_sample(
 
     ts_pairs = jnp.stack([t_steps[:-1], t_steps[1:]], axis=-1)
     n_steps = ts_pairs.shape[0]
+    # per-step bridge coefficients, vectorized over the whole schedule
+    # OUTSIDE the scan (same dtype/ops as the in-step scalar path they
+    # replace, so results are bit-identical): [n, 5] =
+    # (σ_fwd(t), μ_x0, μ_xt, posterior noise std, std_t(t_prev))
+    from audio_intelligence_tpu.models.a2sb.bridge import (
+        gaussian_product_coef,
+    )
+
+    sf_t = schedule.std_fwd(ts_pairs[:, 0])
+    sf_p = schedule.std_fwd(ts_pairs[:, 1])
+    std_delta = jnp.sqrt(sf_t**2 - sf_p**2)
+    mu_x0, mu_xt, var = gaussian_product_coef(sf_p, std_delta)
+    noise_std = jnp.where(ts_pairs[:, 1] > 0, jnp.sqrt(var), 0.0)
+    std_sb = schedule.std_t(ts_pairs[:, 1])
+    coefs = jnp.stack([sf_t, mu_x0, mu_xt, noise_std, std_sb], axis=-1)
     if shifted:
         # grid offset rotates through the r phases across steps
         offsets = (jnp.arange(n_steps, dtype=jnp.int32) % r)
@@ -486,7 +504,7 @@ def bridge_sample(
         return step((x_t, key), xs)
 
     (_, _, last_pred), pred_x0s = jax.lax.scan(
-        step_adapter, init, (ts_pairs, offsets)
+        step_adapter, init, (ts_pairs, offsets, coefs)
     )
     if return_all:
         if window_scan:

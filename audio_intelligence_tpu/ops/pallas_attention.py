@@ -641,16 +641,79 @@ def _fullkv_q8_kernel(
         o_ref[:] = (acc / l).astype(o_ref.dtype)
 
 
+def _fullkv_q8_pipe_kernel(
+    q_ref, kq_ref, vx_ref, sc_ref, o_ref, s_scr, *, scale: float,
+    ones_col: bool, n_q: int,
+):
+    """Software-pipelined ``_fullkv_q8_kernel``: the serial chain
+    QK (MXU) → softmax (VPU) → PV (MXU) leaves the MXU idle through the
+    softmax and the VPU idle through the dots (measured ~3.1 ms vs a
+    ~2.1 ms overlapped floor on the L3 [64, 4096, 96] instances).
+    Restructured so invocation j computes QK for block j while
+    softmaxing+PV-ing block j−1's scores from a VMEM scratch carry —
+    the two halves have NO data dependency, so Mosaic's scheduler can
+    interleave the VPU softmax with the MXU dot issue.
+
+    Grid is (batch·head, n_q + 1): the extra trailing step drains the
+    last block. The output spec's index map is ``max(j-1, 0)`` — at
+    j = 0 the (not yet valid) buffer write is overwritten at j = 1
+    before pallas flushes it (the block index only changes at j = 2)."""
+    # BRANCH-FREE on purpose: pl.when regions compile to separate
+    # predicated blocks, which fences the scheduler — one straight-line
+    # body lets Mosaic interleave the drain's VPU softmax with the
+    # fill's MXU dot issue. The redundant first drain (j=0, stale
+    # scratch) lands in an output buffer that j=1 overwrites before the
+    # flush; the redundant last fill (j=n_q) recomputes block n_q−1's
+    # scores into a scratch nobody reads. ~1/n_q extra work.
+    s = s_scr[...]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p16 = jnp.exp2(s - m).astype(vx_ref.dtype)
+    d = o_ref.shape[-1]
+
+    q = q_ref[:].astype(jnp.float32)
+    aq = jnp.max(jnp.abs(q))
+    s_q = jnp.maximum(aq, 1e-12) * (1.0 / 127.0)
+    q8 = jnp.clip(jnp.round(q / s_q), -127, 127).astype(jnp.int8)
+    s32 = jax.lax.dot_general(
+        q8, kq_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    acc = jax.lax.dot_general(
+        p16, vx_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if ones_col:
+        o_ref[:] = (acc[:, :d] / acc[:, d:]).astype(o_ref.dtype)
+    else:
+        l = jnp.sum(p16.astype(jnp.float32), axis=-1, keepdims=True)
+        o_ref[:] = (acc / l).astype(o_ref.dtype)
+
+    s_k = sc_ref[0, 0]
+    # fully descaled into log2 domain before the carry, so the drain
+    # half needs no per-block scale
+    s_scr[...] = s32.astype(jnp.float32) * (s_q * s_k * scale)
+
+
 def fullkv_attention_q8(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     block_q: int = 256,
     interpret: bool = False,
+    pipelined: bool = False,
 ) -> jax.Array:
     """int8 full-K-in-VMEM attention (see ``_fullkv_q8_kernel``). K and V
     are quantized per-tensor here; error vs bf16 is ~1% relative (gated in
-    tests) — used on the UNet's int8 fast path only."""
+    tests) — used on the UNet's int8 fast path only.
+
+    ``pipelined=True`` routes the software-pipelined variant
+    (``_fullkv_q8_pipe_kernel``) — kept as a DOCUMENTED NEGATIVE: it is
+    bit-identical and measured ±0.2% of the plain kernel on the L3/L4
+    instances (r5), i.e. Mosaic does not co-schedule the independent VPU
+    softmax with the next block's MXU dots even in one basic block, so
+    the serial ~0.6 ms/instance VPU/MXU gap is a compiler property, not
+    a kernel-structure one."""
     b, h, t, d = q.shape
     s = k.shape[2]
     # VMEM per program at peak: int8 K [S, D] + bf16 V [S, D+1] + f32
@@ -684,6 +747,42 @@ def fullkv_attention_q8(
         vf = v.reshape(b * h, s, d)
     dv = vf.shape[-1]
     from jax.experimental.pallas import tpu as pltpu
+
+    n_q = t // block_q
+    if pipelined and n_q > 1:
+        # +4 MB f32 score scratch for the cross-block carry
+        if (need + block_q * s * 4) * 1.2 > 12 * 1024 * 1024:
+            pipelined = False
+    if pipelined and n_q > 1:
+        out = pl.pallas_call(
+            functools.partial(
+                _fullkv_q8_pipe_kernel, scale=scale, ones_col=ones_col,
+                n_q=n_q,
+            ),
+            grid=(b * h, n_q + 1),
+            in_specs=[
+                pl.BlockSpec(
+                    (None, block_q, d),
+                    lambda i, j: (i, jnp.minimum(j, n_q - 1), 0),
+                ),
+                pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((None, s, dv), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (None, block_q, d),
+                lambda i, j: (i, jnp.maximum(j - 1, 0), 0),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+            scratch_shapes=[pltpu.VMEM((block_q, s), jnp.float32)],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                # j must run in order (the scratch carries block j-1's
+                # scores); i stays parallel
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(qf, kf, vf, scales)
+        return out.reshape(b, h, t, d)
 
     out = pl.pallas_call(
         functools.partial(_fullkv_q8_kernel, scale=scale, ones_col=ones_col),

@@ -89,3 +89,28 @@ def test_fullkv_q8_close_to_reference():
         np.asarray(ref)
     ).max()
     assert rel < 0.03, rel
+
+
+def test_fullkv_q8_pipelined_matches_plain():
+    """The software-pipelined fullkv variant (scratch-carried scores,
+    branch-free fill/drain) is bit-identical to the plain kernel at both
+    ones-column (d=96) and lane-aligned (d=128) head sizes."""
+    from audio_intelligence_tpu.ops.pallas_attention import fullkv_attention_q8
+
+    for d in (96, 128):
+        b, h, t = 2, 2, 512
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, h, t, d), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, t, d), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, t, d), jnp.bfloat16)
+        o_plain = fullkv_attention_q8(
+            q, k, v, block_q=128, interpret=True, pipelined=False
+        )
+        o_pipe = fullkv_attention_q8(
+            q, k, v, block_q=128, interpret=True, pipelined=True
+        )
+        # identical up to 1-ulp bf16 rounding ties (pytest's XLA config
+        # contracts fma differently than the standalone interpreter)
+        np.testing.assert_allclose(
+            np.asarray(o_plain, np.float32), np.asarray(o_pipe, np.float32),
+            atol=1e-3,
+        )
