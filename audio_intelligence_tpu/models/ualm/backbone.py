@@ -55,6 +55,13 @@ class BackboneConfig:
     # through it too (the reference trains its 16000-token bucket on
     # differentiable CUDA flash-attn — conf/train.yaml:35-37).
     flash_min_len: int = 4096
+    # static bound on any packed segment's length (the data pipeline's
+    # per-clip token cap; UALM buckets pack clips far shorter than the
+    # 16000-token bucket). When set, the flash kernel walks only the
+    # diagonal K/V band — at the 16k bucket this removes ~87% of the
+    # attention DMA/steps in fwd AND bwd. None = full scan (always
+    # correct); setting it is a promise that no segment exceeds it.
+    flash_max_segment_len: int | None = None
     # per-layer activation rematerialization (ualm_job.py:153-154 /
     # deepspeed.json activation checkpointing): at the 16k bucket the
     # un-remat'd backward's per-layer intermediates exceed one chip.
@@ -176,7 +183,8 @@ class Attention(nn.Module):
                     kv_seg, ((0, 0), (0, pad_s)), constant_values=-1
                 )
             out = flash_attention_segmented(
-                qh, kh, vh, q_pos, kv_pos, q_seg, kv_seg
+                qh, kh, vh, q_pos, kv_pos, q_seg, kv_seg,
+                max_segment_len=cfg.flash_max_segment_len,
             )
             out = jnp.moveaxis(out[:, :, :t], 1, 2)
         else:

@@ -76,9 +76,28 @@ def _seg_visibility(qinfo_ref, kinfo_ref):
     return ok
 
 
+def _win_valid(win):
+    """Windowed-grid step validity: the end-of-array clamp in the
+    window index maps makes trailing steps RE-VISIT an in-range block —
+    which is the visible diagonal, so letting them run would
+    double-count it. Returns a bool (False for clamped re-visit steps)
+    or None when no window is configured.  ``win`` is the static tuple
+    (own_block, other_block, L, n_other, qside) set by the callers."""
+    if win is None:
+        return None
+    own_block, other_block, L, n_other, qside = win
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+    if qside:  # dk/dv pass: j is the K block, kk walks the q window
+        lo = (j * own_block) // other_block
+    else:      # fwd/dq: j is the Q block, kk walks the k window
+        lo = jnp.maximum((j * own_block - (L - 1)) // other_block, 0)
+    return lo + kk < n_other
+
+
 def _flash_seg_kernel(
     q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, m_s, l_s, acc_s,
-    *, scale: float
+    *, scale: float, win=None
 ):
     """Segment-aware causal flash: one (batch·head, q-block, k-block)
     program — K/V stream through the THIRD grid axis so only one
@@ -103,8 +122,12 @@ def _flash_seg_kernel(
         acc_s[:] = jnp.zeros_like(acc_s)
 
     ok = _seg_visibility(qinfo_ref, kinfo_ref)
+    run = jnp.any(ok)
+    valid = _win_valid(win)
+    if valid is not None:
+        run = jnp.logical_and(run, valid)
 
-    @pl.when(jnp.any(ok))
+    @pl.when(run)
     def _visible():
         q = q_ref[:].astype(jnp.float32) * scale
         k = k_ref[:].astype(jnp.float32)
@@ -131,7 +154,7 @@ def _flash_seg_kernel(
 
 def _flash_seg_kernel_lse(
     q_ref, k_ref, v_ref, qinfo_ref, kinfo_ref, o_ref, lse_ref,
-    m_s, l_s, acc_s, *, scale: float
+    m_s, l_s, acc_s, *, scale: float, win=None
 ):
     """Forward used under differentiation: identical recurrence, but also
     writes the per-row logsumexp (m + log l) the FlashAttention-2 backward
@@ -147,8 +170,12 @@ def _flash_seg_kernel_lse(
         acc_s[:] = jnp.zeros_like(acc_s)
 
     ok = _seg_visibility(qinfo_ref, kinfo_ref)
+    run = jnp.any(ok)
+    valid = _win_valid(win)
+    if valid is not None:
+        run = jnp.logical_and(run, valid)
 
-    @pl.when(jnp.any(ok))
+    @pl.when(run)
     def _visible():
         q = q_ref[:].astype(jnp.float32) * scale
         k = k_ref[:].astype(jnp.float32)
@@ -176,7 +203,7 @@ def _flash_seg_kernel_lse(
 
 def _flash_seg_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, aux_ref, qinfo_ref, kinfo_ref, dq_ref, dq_s,
-    *, scale: float
+    *, scale: float, win=None
 ):
     """dq pass: grid (B·H, T/BLOCK_Q, S/BLOCK_K) — K/V stream through the
     inner axis, dq accumulates in scratch. aux rows: (lse; delta=Σ dO·O).
@@ -192,8 +219,12 @@ def _flash_seg_bwd_dq_kernel(
         dq_s[:] = jnp.zeros_like(dq_s)
 
     ok = _seg_visibility(qinfo_ref, kinfo_ref)
+    run = jnp.any(ok)
+    valid = _win_valid(win)
+    if valid is not None:
+        run = jnp.logical_and(run, valid)
 
-    @pl.when(jnp.any(ok))
+    @pl.when(run)
     def _visible():
         q = q_ref[:].astype(jnp.float32) * scale
         k = k_ref[:].astype(jnp.float32)
@@ -226,7 +257,7 @@ def _flash_seg_bwd_dq_kernel(
 
 def _flash_seg_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, aux_ref, qinfo_ref, kinfo_ref,
-    dk_ref, dv_ref, dk_s, dv_s, *, scale: float
+    dk_ref, dv_ref, dk_s, dv_s, *, scale: float, win=None
 ):
     """dk/dv pass: grid (B·H, S/BLOCK_K, T/BLOCK_Q) — Q/dO stream through
     the inner axis, dk/dv accumulate in scratch.
@@ -242,8 +273,12 @@ def _flash_seg_bwd_dkv_kernel(
         dv_s[:] = jnp.zeros_like(dv_s)
 
     ok = _seg_visibility(qinfo_ref, kinfo_ref)
+    run = jnp.any(ok)
+    valid = _win_valid(win)
+    if valid is not None:
+        run = jnp.logical_and(run, valid)
 
-    @pl.when(jnp.any(ok))
+    @pl.when(run)
     def _visible():
         q = q_ref[:].astype(jnp.float32)
         k = k_ref[:].astype(jnp.float32)
@@ -278,8 +313,47 @@ def _flash_seg_bwd_dkv_kernel(
         dv_ref[:] = dv_s[:].astype(dv_ref.dtype)
 
 
+def _k_window(block_q, block_k, n_k, max_segment_len):
+    """(n_steps, kidx_fn) for the K-streaming inner grid axis.
+
+    With ``max_segment_len = L`` (every packed segment ≤ L tokens),
+    causal+segment visibility implies 0 ≤ g_q − g_k < L — only the
+    diagonal BAND of k-blocks can be visible for a q-block, so the inner
+    axis shrinks from S/BLOCK_K steps to ⌈(BLOCK_Q+L)/BLOCK_K⌉+1 and,
+    with it, the full-T² K/V DMA that dominated the 16k training step
+    (18 ms → ~3 ms per kernel instance). Out-of-range steps clamp to a
+    neighbouring (already-fetched) block; the in-kernel visibility mask
+    zeroes their contribution, so correctness never depends on the
+    window — only completeness does (hence the ≤ L caller contract).
+    """
+    if max_segment_len is None:
+        return n_k, lambda j, kk: kk
+    n_win = min((block_q + max_segment_len - 2) // block_k + 2, n_k)
+    lm1 = max_segment_len - 1
+
+    def kidx(j, kk):
+        lo = jnp.maximum((j * block_q - lm1) // block_k, 0)
+        return jnp.minimum(lo + kk, n_k - 1)
+
+    return n_win, kidx
+
+
+def _q_window(block_q, block_k, n_q, max_segment_len):
+    """The dk/dv-pass mirror of ``_k_window``: for k-block jb, visible
+    queries satisfy g_k ≤ g_q < g_k + L."""
+    if max_segment_len is None:
+        return n_q, lambda j, qq: qq
+    n_win = min((block_k + max_segment_len - 2) // block_q + 2, n_q)
+
+    def qidx(j, qq):
+        lo = (j * block_k) // block_q
+        return jnp.minimum(lo + qq, n_q - 1)
+
+    return n_win, qidx
+
+
 def _seg_attn_fwd_impl(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
-                       with_lse):
+                       with_lse, max_segment_len=None):
     bh, t, d = qf.shape
     s = kf.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -292,15 +366,23 @@ def _seg_attn_fwd_impl(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
             out_specs,
             pl.BlockSpec((None, block_q, 1), lambda i, j, kk: (i, j, 0)),
         ]
+    n_kw, kidx = _k_window(block_q, block_k, s // block_k, max_segment_len)
+    win = (
+        None if max_segment_len is None
+        else (block_q, block_k, max_segment_len, s // block_k, False)
+    )
     return pl.pallas_call(
-        functools.partial(kernel, scale=scale),
-        grid=(bh, t // block_q, s // block_k),
+        functools.partial(kernel, scale=scale, win=win),
+        grid=(bh, t // block_q, n_kw),
         in_specs=[
             pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((None, block_k, d), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((None, block_k, d),
+                         lambda i, j, kk: (i, kidx(j, kk), 0)),
+            pl.BlockSpec((None, block_k, d),
+                         lambda i, j, kk: (i, kidx(j, kk), 0)),
             pl.BlockSpec((None, 2, block_q), lambda i, j, kk: (i, 0, j)),
-            pl.BlockSpec((None, 2, block_k), lambda i, j, kk: (i, 0, kk)),
+            pl.BlockSpec((None, 2, block_k),
+                         lambda i, j, kk: (i, 0, kidx(j, kk))),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -316,8 +398,9 @@ def _seg_attn_fwd_impl(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
     )(qf, kf, vf, qinfo, kinfo)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _seg_attn(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _seg_attn(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
+              max_segment_len=None):
     """Differentiable core on flattened [B·H, ...] operands.
 
     Forward = FlashAttention-2 online softmax; backward = the FA-2 two-pass
@@ -329,18 +412,21 @@ def _seg_attn(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret):
     directions, so the UALM 16k-token training bucket fits on one chip.
     """
     return _seg_attn_fwd_impl(
-        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret, with_lse=False
+        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
+        with_lse=False, max_segment_len=max_segment_len,
     )
 
 
-def _seg_attn_fwd(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret):
+def _seg_attn_fwd(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
+                  max_segment_len=None):
     out, lse = _seg_attn_fwd_impl(
-        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret, with_lse=True
+        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
+        with_lse=True, max_segment_len=max_segment_len,
     )
     return out, (qf, kf, vf, qinfo, kinfo, out, lse)
 
 
-def _seg_attn_bwd(block_q, block_k, interpret, res, g):
+def _seg_attn_bwd(block_q, block_k, interpret, max_segment_len, res, g):
     qf, kf, vf, qinfo, kinfo, out, lse = res
     bh, t, d = qf.shape
     s = kf.shape[1]
@@ -362,17 +448,22 @@ def _seg_attn_bwd(block_q, block_k, interpret, res, g):
     def specs(maps):
         return [pl.BlockSpec(sh, m) for sh, m in zip(in_shapes, maps)]
 
+    n_kw, kidx = _k_window(block_q, block_k, s // block_k, max_segment_len)
+    win_q = (
+        None if max_segment_len is None
+        else (block_q, block_k, max_segment_len, s // block_k, False)
+    )
     dq = pl.pallas_call(
-        functools.partial(_flash_seg_bwd_dq_kernel, scale=scale),
-        grid=(bh, t // block_q, s // block_k),
+        functools.partial(_flash_seg_bwd_dq_kernel, scale=scale, win=win_q),
+        grid=(bh, t // block_q, n_kw),
         in_specs=specs([
             lambda i, j, kk: (i, j, 0),
-            lambda i, j, kk: (i, kk, 0),
-            lambda i, j, kk: (i, kk, 0),
+            lambda i, j, kk: (i, kidx(j, kk), 0),
+            lambda i, j, kk: (i, kidx(j, kk), 0),
             lambda i, j, kk: (i, j, 0),
             lambda i, j, kk: (i, 0, j),
             lambda i, j, kk: (i, 0, j),
-            lambda i, j, kk: (i, 0, kk),
+            lambda i, j, kk: (i, 0, kidx(j, kk)),
         ]),
         out_specs=pl.BlockSpec((None, block_q, d), lambda i, j, kk: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), qf.dtype),
@@ -383,16 +474,21 @@ def _seg_attn_bwd(block_q, block_k, interpret, res, g):
         interpret=interpret,
     )(qf, kf, vf, g, aux, qinfo, kinfo)
 
+    n_qw, qidx = _q_window(block_q, block_k, t // block_q, max_segment_len)
+    win_k = (
+        None if max_segment_len is None
+        else (block_k, block_q, max_segment_len, t // block_q, True)
+    )
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_seg_bwd_dkv_kernel, scale=scale),
-        grid=(bh, s // block_k, t // block_q),
+        functools.partial(_flash_seg_bwd_dkv_kernel, scale=scale, win=win_k),
+        grid=(bh, s // block_k, n_qw),
         in_specs=specs([
-            lambda i, j, qq: (i, qq, 0),
+            lambda i, j, qq: (i, qidx(j, qq), 0),
             lambda i, j, qq: (i, j, 0),
             lambda i, j, qq: (i, j, 0),
-            lambda i, j, qq: (i, qq, 0),
-            lambda i, j, qq: (i, 0, qq),
-            lambda i, j, qq: (i, 0, qq),
+            lambda i, j, qq: (i, qidx(j, qq), 0),
+            lambda i, j, qq: (i, 0, qidx(j, qq)),
+            lambda i, j, qq: (i, 0, qidx(j, qq)),
             lambda i, j, qq: (i, 0, j),
         ]),
         out_specs=[
@@ -434,8 +530,19 @@ def flash_attention_segmented(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    max_segment_len: int | None = None,
 ) -> jax.Array:
     """Causal, segment-masked blocked attention for packed batches.
+
+    ``max_segment_len``: static upper bound on any packed segment's
+    length (the training config's bucket/clip bound — e.g. the UALM
+    16k-bucket packs clips ≤ 2048 tokens). When given, the K/V streaming
+    axis only walks the ⌈(block+L)/block⌉ diagonal band instead of all
+    S/BLOCK_K blocks — at 16k context this removes ~87% of the kernels'
+    DMA and grid steps in BOTH directions (fwd, dq, dk/dv). CALLER
+    CONTRACT: every segment must really be ≤ L tokens; longer segments
+    silently lose their distant-past attention (validate in the data
+    pipeline, not here — the bound must be static).
 
     q [B, H, T, D] × k/v [B, H, S, D]; positions/segments are [B, T] /
     [B, S] int32 (mark padded/invalid keys with segment -1). O(T) VMEM —
@@ -464,7 +571,12 @@ def flash_attention_segmented(
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
 
-    out = _seg_attn(qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret)
+    if max_segment_len is not None and max_segment_len >= t:
+        max_segment_len = None  # window covers everything — plain grid
+    out = _seg_attn(
+        qf, kf, vf, qinfo, kinfo, block_q, block_k, interpret,
+        max_segment_len,
+    )
     return out.reshape(b, h, t, d)
 
 

@@ -646,7 +646,13 @@ def bench_ualm_train(seq_len: int = 2048):
     long_ctx = seq_len >= 4096
     cfg = BackboneConfig.qwen25_1_5b()
     if long_ctx:
-        cfg = BackboneConfig(**{**cfg.__dict__, "remat": True})
+        # flash_max_segment_len matches this bench's packing (doc_len
+        # 2048 below) — the reference buckets pack clips, never one
+        # 16k-token document, so the diagonal-band kernel is the honest
+        # regime (conf/train.yaml:35-37)
+        cfg = BackboneConfig(**{
+            **cfg.__dict__, "remat": True, "flash_max_segment_len": 2048,
+        })
     model = ParallelLM(cfg=cfg, vocab_size=vocab, num_stream=num_stream)
     ids = jnp.zeros((1, 8, num_stream), jnp.int32)
     shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids))

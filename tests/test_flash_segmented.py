@@ -170,3 +170,39 @@ def test_backbone_flash_path_matches_dense():
     out_h, out_c = mb_flash.apply(variables, x, pos, cache)
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), atol=3e-5)
     np.testing.assert_allclose(np.asarray(out_c.k), np.asarray(ref_c.k), atol=1e-6)
+
+
+def test_flash_segmented_windowed_matches_full():
+    """``max_segment_len`` (the diagonal-band K/V walk) is output- AND
+    grad-equivalent to the full scan whenever every packed segment
+    really is ≤ the bound — including bounds that are not block
+    multiples and the prefill S > T layout."""
+    rng = np.random.default_rng(7)
+    b, h, t, d = 2, 2, 768, 32
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pos, seg = _packed_ids(rng, b, t, 200)  # all segments ≤ 200
+
+    def run(max_seg):
+        def attn(q, k, v):
+            return flash_attention_segmented(
+                q, k, v, pos, pos, seg, seg, block_q=128, block_k=128,
+                max_segment_len=max_seg,
+            )
+
+        grads = jax.grad(
+            lambda q, k, v: jnp.sum(attn(q, k, v) ** 2), argnums=(0, 1, 2)
+        )(q, k, v)
+        return attn(q, k, v), grads
+
+    o_full, g_full = run(None)
+    for bound in (200, 257):  # exact and non-block-multiple bound
+        o_win, g_win = run(bound)
+        np.testing.assert_allclose(
+            np.asarray(o_win), np.asarray(o_full), atol=2e-5
+        )
+        for gw, gf in zip(g_win, g_full):
+            np.testing.assert_allclose(
+                np.asarray(gw), np.asarray(gf), atol=2e-4
+            )
