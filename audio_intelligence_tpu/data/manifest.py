@@ -717,3 +717,132 @@ def normalize_wav_batch(
         with ThreadPoolExecutor(num_workers) as ex:
             return list(ex.map(one, paths))
     return [one(p) for p in paths]
+
+
+# ---------------------------------------------------------------------------
+# subset manifests (create_subset_manifest.py:60-330 semantics)
+# ---------------------------------------------------------------------------
+
+
+def load_filter_entries(input_path: str) -> Dict[str, List[Dict[str, Any]]]:
+    """Load a filter manifest (.json/.jsonl file or a directory of them)
+    into {audio-file key → [raw entries]} (FilterLoader.load:60-137).
+    Keys are matched on the audio location's stem — the same key the
+    shard pipeline derives tar member ids from — with multi-audio
+    entries keyed by their FIRST clip (reference _extract_key)."""
+    paths: List[str] = []
+    if os.path.isfile(input_path):
+        paths = [input_path]
+    elif os.path.isdir(input_path):
+        for pat in ("**/*.jsonl", "**/*.json"):
+            paths.extend(
+                str(p) for p in Path(input_path).glob(pat)
+            )
+    table: Dict[str, List[Dict[str, Any]]] = {}
+    for fp in sorted(paths):
+        with open(fp, encoding="utf-8") as f:
+            head = f.read(1)
+            f.seek(0)
+            rows = (
+                json.load(f)
+                if head == "["
+                else [json.loads(l) for l in f if l.strip()]
+            )
+        for e in rows:
+            loc = e.get("location")
+            if isinstance(loc, (list, tuple)):
+                loc = loc[0] if loc else None
+            if not loc and isinstance(e.get("audio"), list) and e["audio"]:
+                loc = e["audio"][0].get("path") or e["audio"][0].get("key")
+            elif not loc and isinstance(e.get("audio"), dict):
+                loc = e["audio"].get("path") or e["audio"].get("key")
+            if not loc and e.get("id"):
+                loc = e["id"]
+            if loc:
+                table.setdefault(Path(str(loc)).stem, []).append(e)
+    return table
+
+
+def create_subset_manifest(
+    input_subset_manifest: str,
+    source_manifest_dir: str,
+    output_dir: str,
+    prefix: str = "subset",
+    update_metadata: bool = True,
+    dataset_name: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Filter existing SHARDED manifests down to a subset, preserving the
+    tarball byte-seek metadata — no audio is copied or re-sharded
+    (reference create_subset_manifest.py ShardProcessor semantics).
+
+    - every ``*.manifest.jsonl`` under ``source_manifest_dir`` is matched
+      row-by-row against the filter (key = audio stem / entry id),
+    - matched rows keep their ``audio`` dict(s) verbatim (tar_path /
+      data_offset / data_size stay valid against the ORIGINAL shards),
+    - ``update_metadata``: caption/conversations from the filter entry
+      replace the source row's text; extra filter keys land under
+      ``meta``; ``dataset_name`` stamps every row,
+    - outputs ``{prefix}.manifest.jsonl`` + a ``{prefix}.manifest.json``
+      summary index (entry/duration statistics).
+    """
+    flt = load_filter_entries(input_subset_manifest)
+    os.makedirs(output_dir, exist_ok=True)
+    sources = sorted(Path(source_manifest_dir).glob("*.manifest.jsonl"))
+    out_path = os.path.join(output_dir, f"{prefix}.manifest.jsonl")
+    n_out, durations = 0, []
+    matched_keys: set = set()
+    with open(out_path, "w", encoding="utf-8") as out:
+        for src in sources:
+            with open(src, encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    row = json.loads(line)
+                    audio = row.get("audio")
+                    first = audio[0] if isinstance(audio, list) else audio
+                    key = Path(str(first.get("key", row.get("id", "")))).stem
+                    hits = flt.get(key) or flt.get(str(row.get("id", "")))
+                    if not hits:
+                        continue
+                    matched_keys.add(key)
+                    for fe in hits:
+                        new = dict(row)
+                        if update_metadata:
+                            text = dict(new.get("text") or {})
+                            for k in ("caption", "conversations"):
+                                if fe.get(k) is not None:
+                                    text[k] = fe[k]
+                            extra = {
+                                k: v for k, v in fe.items()
+                                if k not in (
+                                    "caption", "conversations", "location",
+                                    "audio", "id",
+                                ) and v is not None
+                            }
+                            new["text"] = text
+                            if extra:
+                                new["meta"] = {**new.get("meta", {}), **extra}
+                        if dataset_name:
+                            new["dataset_name"] = dataset_name
+                        out.write(json.dumps(new, ensure_ascii=False) + "\n")
+                        n_out += 1
+                        a = audio if isinstance(audio, list) else [audio]
+                        durations.extend(
+                            float(x.get("duration") or 0.0) for x in a
+                        )
+    summary = {
+        "prefix": prefix,
+        "source_manifest_dir": str(source_manifest_dir),
+        "filter": str(input_subset_manifest),
+        "dataset_name": dataset_name,
+        "num_entries": n_out,
+        "num_filter_keys": len(flt),
+        "num_matched_keys": len(matched_keys),
+        "num_unmatched_keys": len(set(flt) - matched_keys),
+        "total_duration_s": round(sum(durations), 3),
+        "duration_stats": _stats(durations),
+        "manifest": os.path.basename(out_path),
+    }
+    with open(os.path.join(output_dir, f"{prefix}.manifest.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

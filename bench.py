@@ -541,6 +541,11 @@ def bench_a2sb_train_eb10(n_micro: int = 10):
 
     step = jax.jit(step, donate_argnums=0)
     flops = _compiled_flops(step, state, jax.random.PRNGKey(0), micros)
+    # XLA cost analysis reports while-loop bodies ONCE; the grad-accum
+    # scan runs n_micro times (the non-loop RAdam update it also counts
+    # once is <0.1% of total FLOPs, so scaling the whole figure is fair)
+    if flops:
+        flops *= n_micro
     dt = _time_train_steps(step, state, lambda i: (jax.random.PRNGKey(i), micros))
     tflops = (flops / dt / 1e12) if flops else None
     return {

@@ -298,3 +298,151 @@ def test_normalize_wav_batch(etl_dirs, tmp_path):
 
     with _pytest.raises(ValueError, match="wav"):
         normalize_wav_batch([str(tmp_path / "x.mp3")], str(tmp_path / "norm"))
+
+
+def test_simple_audio_loader_reference_parity(etl_dirs, tmp_path):
+    """SimpleAudioLoader (standalone_loader.py SimpleAudioLoader:167-770
+    parity): tarball byte-seek reads of manifest rows, offset/duration
+    windows, seeded random crop, resampling, and multi-audio entries."""
+    root, jsonl, durations, pcm = etl_dirs
+    out = root / "shards"
+    loader = standalone_loader.SimpleAudioLoader(shard_dir=str(out))
+    rows = {}
+    with open(out / "train.manifest.jsonl") as f:
+        for line in f:
+            r = json.loads(line)
+            rows[r["id"]] = r
+
+    # plain row → full clip
+    res = loader.load_audio(rows["c"])
+    assert res["is_multi_audio"] is False
+    np.testing.assert_allclose(res["wav"], pcm["c"], atol=1e-4)
+
+    # offset/duration window
+    row = json.loads(json.dumps(rows["b"]))
+    row["audio"]["offset"] = 1.0
+    row["audio"]["duration"] = 2.0
+    seg = loader.load_audio(row)["wav"]
+    np.testing.assert_allclose(
+        seg, pcm["b"][:, 16000 : 3 * 16000], atol=1e-4
+    )
+
+    # seeded random crop to a fixed sample count (reference
+    # _get_frames_to_read:222-273) — only crops clips longer than target
+    crop = standalone_loader.SimpleAudioLoader(
+        shard_dir=str(out), random_crop_sample_size=30000, seed=1
+    )
+    w1 = crop.load_audio(rows["d"])["wav"]  # 7 s = 112000 > 30000 → crop
+    assert w1.shape[1] == 30000
+    short = crop.load_audio(rows["c"])["wav"]  # 20000 < 30000 → full clip
+    assert short.shape[1] == pcm["c"].shape[1]
+    # same seed → same crop
+    crop2 = standalone_loader.SimpleAudioLoader(
+        shard_dir=str(out), random_crop_sample_size=30000, seed=1
+    )
+    np.testing.assert_array_equal(w1, crop2.load_audio(rows["d"])["wav"])
+
+    # resampling to a target rate
+    rs = standalone_loader.SimpleAudioLoader(
+        shard_dir=str(out), sampling_rate=8000
+    )
+    half = rs.load_audio(rows["c"])["wav"]
+    assert abs(half.shape[1] - pcm["c"].shape[1] // 2) <= 1
+
+    # multi-audio rows (r4 multi manifests): audio is a LIST
+    multi_row = {
+        "id": "m0",
+        "audio": [rows["a"]["audio"], rows["c"]["audio"]],
+        "text": {},
+    }
+    mres = loader.load_audio(multi_row)
+    assert mres["is_multi_audio"] and mres["num_audios"] == 2
+    np.testing.assert_allclose(mres["wav"][0], pcm["a"], atol=1e-4)
+    np.testing.assert_allclose(mres["wav"][1], pcm["c"], atol=1e-4)
+
+    # lustre (plain-file) backend
+    lustre = standalone_loader.SimpleAudioLoader(storage_backend="lustre")
+    direct = lustre.load_audio(
+        {"audio": {"path": str(root / "wavs" / "a.wav")}}
+    )["wav"]
+    np.testing.assert_allclose(direct, pcm["a"], atol=1e-4)
+
+
+def test_create_subset_manifest_filter_workflow(etl_dirs, tmp_path):
+    """The reference subset workflow (create_subset_manifest.py):
+    filter manifest ∩ sharded manifests → subset rows preserving tar
+    byte-seek metadata, with caption update + dataset-name stamping —
+    then the standalone loader reads the SUBSET rows against the
+    ORIGINAL shards."""
+    from audio_intelligence_tpu.data.manifest import create_subset_manifest
+
+    root, jsonl, durations, pcm = etl_dirs
+    out = root / "shards"
+    flt = tmp_path / "filter.jsonl"
+    with open(flt, "w") as f:
+        f.write(json.dumps({
+            "location": str(root / "wavs" / "b.wav"),
+            "caption": "UPDATED b",
+            "quality": 0.9,
+        }) + "\n")
+        f.write(json.dumps({"id": "d", "caption": "UPDATED d"}) + "\n")
+        f.write(json.dumps({"location": "missing.wav"}) + "\n")
+
+    summary = create_subset_manifest(
+        str(flt), str(out), str(tmp_path / "subset"),
+        prefix="sub", update_metadata=True, dataset_name="subset_v1",
+    )
+    assert summary["num_entries"] == 2
+    assert summary["num_matched_keys"] == 2
+    assert summary["num_unmatched_keys"] == 1
+
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "subset" / "sub.manifest.jsonl")
+        if l.strip()
+    ]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["b"]["text"]["caption"] == "UPDATED b"
+    assert by_id["b"]["meta"]["quality"] == 0.9
+    assert by_id["b"]["dataset_name"] == "subset_v1"
+    # tar refs preserved → readable against the ORIGINAL shard dir
+    loader = standalone_loader.SimpleAudioLoader(shard_dir=str(out))
+    np.testing.assert_allclose(
+        loader.load_audio(by_id["d"])["wav"], pcm["d"], atol=1e-4
+    )
+
+
+def test_batch_create_subset_manifest_cli(etl_dirs, tmp_path):
+    import yaml
+
+    from cli import batch_create_subset_manifest as B
+
+    root, jsonl, durations, pcm = etl_dirs
+    flt = tmp_path / "f.jsonl"
+    with open(flt, "w") as f:
+        f.write(json.dumps({"id": "a"}) + "\n")
+    cfgp = tmp_path / "plan.yaml"
+    with open(cfgp, "w") as f:
+        yaml.safe_dump({"datasets": [{
+            "name": "fixture",
+            "input_manifest": str(flt),
+            "source_manifest_dir": str(root / "shards"),
+            "output_dir": str(tmp_path / "bout"),
+            "prefix": "train",
+            "dataset_name": "fixture_v1",
+        }]}, f)
+    assert B.main(["--config", str(cfgp), "--dry_run"]) == 0
+    assert B.main(["--config", str(cfgp)]) == 0
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "bout" / "train.manifest.jsonl")
+        if l.strip()
+    ]
+    assert len(rows) == 1 and rows[0]["id"] == "a"
+    # a bad plan fails validation
+    with open(cfgp, "w") as f:
+        yaml.safe_dump({"datasets": [{
+            "name": "broken", "input_manifest": "/nope.jsonl",
+            "source_manifest_dir": "/nope", "output_dir": str(tmp_path),
+        }]}, f)
+    assert B.main(["--config", str(cfgp)]) == 1
