@@ -79,6 +79,11 @@ def main(argv=None):
             num_heads=mc.get("num_heads", 12),
             num_kv_heads=mc.get("num_kv_heads", 2),
             intermediate_size=mc.get("intermediate_size", 8960),
+            remat=job.model.get("activation_checkpointing", False),
+            # per-clip token cap of the packing pipeline → the flash
+            # kernel walks only the diagonal K/V band (its ≤-bound
+            # caller contract; see ops/pallas_attention.py)
+            flash_max_segment_len=mc.get("flash_max_segment_len"),
         )
         raise SystemExit(
             "full-config training requires prepared stats + manifests; "
