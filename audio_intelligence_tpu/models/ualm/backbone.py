@@ -62,6 +62,11 @@ class BackboneConfig:
     # attention DMA/steps in fwd AND bwd. None = full scan (always
     # correct); setting it is a promise that no segment exceeds it.
     flash_max_segment_len: int | None = None
+    # flash kernel block sizes. With a segment window, smaller k blocks
+    # tighten the diagonal band (less overfetch): at L=2048 the walk is
+    # ceil((block_q+L)/block_k)+1 k-blocks ≈ L + block_k + block_q keys.
+    flash_block_q: int = 256
+    flash_block_k: int = 512
     # per-layer activation rematerialization (ualm_job.py:153-154 /
     # deepspeed.json activation checkpointing): at the 16k bucket the
     # un-remat'd backward's per-layer intermediates exceed one chip.
@@ -164,8 +169,8 @@ class Attention(nn.Module):
 
             q_pos, q_seg, kv_pos, kv_seg = flash_info
             s_len = kx.shape[1]
-            pad_t = (-t) % 256
-            pad_s = (-s_len) % 512
+            pad_t = (-t) % cfg.flash_block_q
+            pad_s = (-s_len) % cfg.flash_block_k
             qh = jnp.moveaxis(q, 2, 1)
             kh = jnp.moveaxis(kx, 2, 1)
             vh = jnp.moveaxis(vx, 2, 1)
@@ -184,6 +189,7 @@ class Attention(nn.Module):
                 )
             out = flash_attention_segmented(
                 qh, kh, vh, q_pos, kv_pos, q_seg, kv_seg,
+                block_q=cfg.flash_block_q, block_k=cfg.flash_block_k,
                 max_segment_len=cfg.flash_max_segment_len,
             )
             out = jnp.moveaxis(out[:, :, :t], 1, 2)

@@ -657,6 +657,9 @@ def bench_ualm_train(seq_len: int = 2048):
         # regime (conf/train.yaml:35-37)
         cfg = BackboneConfig(**{
             **cfg.__dict__, "remat": True, "flash_max_segment_len": 2048,
+            # block sweep (r5): 512/512 beats the 256/512 default by 6%
+            # at the 16k bucket (fewer band walks per q block)
+            "flash_block_q": 512, "flash_block_k": 512,
         })
     model = ParallelLM(cfg=cfg, vocab_size=vocab, num_stream=num_stream)
     ids = jnp.zeros((1, 8, num_stream), jnp.int32)
